@@ -1,0 +1,23 @@
+"""Test harness: force an 8-device virtual CPU platform.
+
+Multi-device sharding paths are exercised on CPU without TPU hardware — the
+standard JAX answer to "test multi-chip without a slice".
+
+Note: this container's sitecustomize registers an 'axon' TPU platform and
+overrides the ``jax_platforms`` config at interpreter startup, so setting
+JAX_PLATFORMS in the environment is not enough — we must update the jax
+config directly (before any backend initialisation, which is lazy).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
