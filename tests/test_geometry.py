@@ -121,13 +121,36 @@ class TestProcrustes:
 
 class TestConfig:
     def test_reserve_published_value(self):
-        # reference comment: "when overlap is 0.575, reserve is 0.75"
-        # (util/initPara.py:110-114)
-        assert abs(solve_reserve(0.575) - 0.75) < 1e-6
+        # reference comment says "when overlap is 0.575, reserve is 0.75"
+        # (util/initPara.py:110-114) — the actual sympy solve gives
+        # 0.7506812782..., which is what the reference computes and uses.
+        r = solve_reserve(0.575)
+        assert abs(r - 0.75) < 1e-2
+        assert abs(r - 0.7506812782552477) < 1e-9
+
+    def test_reserve_matches_sympy_reference_semantics(self):
+        import sympy as sp
+
+        n = sp.Symbol("n")
+        for overlap in [0.5, 0.575, 0.75, 0.9]:
+            a = (n - sp.Rational(3, 2) * n**2) * (1 - 2 * n)
+            b = (
+                sp.Rational(1, 2) * (n - 1) ** 2 * n
+                - sp.Rational(1, 6) * (1 - n) ** 3
+                + sp.Rational(1, 6) * (1 - 2 * n) ** 3
+            )
+            f = ((a + b) * 2 + (1 - 2 * n) ** 3) / (1 - n) ** 2 - overlap
+            roots = [
+                complex(r) for r in sp.solve(f, n)
+            ]
+            (root,) = [
+                r.real for r in roots if abs(r.imag) < 1e-9 and 0 <= r.real <= 0.5
+            ]
+            assert abs(solve_reserve(overlap) - (1 - root)) < 1e-9
 
     def test_overlap2(self):
         cfg = Config(partial=True, overlap=0.575)
-        assert abs(cfg.reserve - 0.75) < 1e-6
+        assert abs(cfg.reserve - 0.7506812782552477) < 1e-9
         assert abs(cfg.overlap2 - 0.575 / 0.75) < 1e-9
 
     def test_whole_mode_no_crop(self):
