@@ -151,7 +151,7 @@ class TestConfig:
     def test_overlap2(self):
         cfg = Config(partial=True, overlap=0.575)
         assert abs(cfg.reserve - 0.7506812782552477) < 1e-9
-        assert abs(cfg.overlap2 - 0.575 / 0.75) < 1e-9
+        assert abs(cfg.overlap2 - 0.575 / cfg.reserve) < 1e-9
 
     def test_whole_mode_no_crop(self):
         cfg = Config(partial=False, overlap=0.575)
