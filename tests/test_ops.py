@@ -1,0 +1,103 @@
+"""Ops unit tests: kNN/kFN vs brute-force numpy, gather, FPS semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vcrnet_tpu import ops
+
+
+def np_knn(x, k, exclude_self=True):
+    # x: [B, N, C] brute force
+    d = ((x[:, :, None, :] - x[:, None, :, :]) ** 2).sum(-1)  # [B,N,N]
+    order = np.argsort(d, axis=-1, kind="stable")
+    return order[..., 1 : k + 1] if exclude_self else order[..., :k]
+
+
+class TestKnn:
+    def test_knn_matches_bruteforce(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(4, 64, 3).astype(np.float32)
+        ours = np.asarray(ops.knn(jnp.asarray(x), k=8))
+        ref = np_knn(x, 8)
+        # compare as sets per point (tie order may differ)
+        assert ours.shape == ref.shape
+        same = (np.sort(ours, -1) == np.sort(ref, -1)).mean()
+        assert same > 0.999
+
+    def test_kfn_farthest(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 32, 4).astype(np.float32)
+        ours = np.asarray(ops.kfn(jnp.asarray(x), k=5))
+        d = ((x[:, :, None, :] - x[:, None, :, :]) ** 2).sum(-1)
+        ref = np.argsort(-d, axis=-1, kind="stable")[..., :5]
+        same = (np.sort(ours, -1) == np.sort(ref, -1)).mean()
+        assert same > 0.999
+
+    def test_pairwise_sqdist_cross(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(3, 16, 8).astype(np.float32)
+        y = rng.randn(3, 24, 8).astype(np.float32)
+        ours = np.asarray(ops.pairwise_sqdist(jnp.asarray(x), jnp.asarray(y)))
+        ref = ((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+class TestGather:
+    def test_gather_neighbors(self):
+        rng = np.random.RandomState(3)
+        feats = rng.randn(2, 10, 6).astype(np.float32)
+        idx = rng.randint(0, 10, size=(2, 10, 4))
+        out = np.asarray(ops.gather_neighbors(jnp.asarray(feats), jnp.asarray(idx)))
+        for b in range(2):
+            for n in range(10):
+                for j in range(4):
+                    np.testing.assert_array_equal(out[b, n, j], feats[b, idx[b, n, j]])
+
+    def test_graph_feature_concat_order(self):
+        # reference concatenates (neighbor, center) on the channel axis
+        # (util/util.py:197)
+        rng = np.random.RandomState(4)
+        feats = rng.randn(1, 8, 3).astype(np.float32)
+        idx = np.zeros((1, 8, 2), dtype=np.int32)  # all neighbors = point 0
+        gf = np.asarray(ops.graph_feature(jnp.asarray(feats), idx=jnp.asarray(idx)))
+        assert gf.shape == (1, 8, 2, 6)
+        np.testing.assert_array_equal(gf[0, 3, 0, :3], feats[0, 0])  # neighbor
+        np.testing.assert_array_equal(gf[0, 3, 0, 3:], feats[0, 3])  # center
+
+
+class TestFPS:
+    def np_fps(self, xyz, npoint):
+        # mirror of reference util/util.py:107-140 semantics in numpy
+        B, N, _ = xyz.shape
+        centroids = np.zeros((B, npoint), np.int64)
+        distance = np.full((B, N), 1e10)
+        bary = xyz.mean(axis=1, keepdims=True)
+        farthest = np.argmax(((xyz - bary) ** 2).sum(-1), axis=-1)
+        for i in range(npoint):
+            centroids[:, i] = farthest
+            centroid = xyz[np.arange(B), farthest][:, None, :]
+            dist = ((xyz - centroid) ** 2).sum(-1)
+            distance = np.minimum(distance, dist)
+            farthest = np.argmax(distance, axis=-1)
+        return centroids
+
+    def test_fps_matches_reference_semantics(self):
+        rng = np.random.RandomState(5)
+        xyz = rng.randn(3, 100, 3).astype(np.float32)
+        ours = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 16))
+        ref = self.np_fps(xyz.astype(np.float64), 16)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_fps_spreads_points(self):
+        # FPS on a grid should pick spread-out points: min pairwise distance
+        # among samples should beat random sampling
+        rng = np.random.RandomState(6)
+        xyz = rng.rand(1, 256, 3).astype(np.float32)
+        idx = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 16))[0]
+        pts = xyz[0, idx]
+        d = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+        np.fill_diagonal(d, np.inf)
+        rand_pts = xyz[0, rng.choice(256, 16, replace=False)]
+        dr = ((rand_pts[:, None] - rand_pts[None]) ** 2).sum(-1)
+        np.fill_diagonal(dr, np.inf)
+        assert d.min() > dr.min()
