@@ -1,0 +1,243 @@
+"""Model-level tests: shapes, known-transform recovery, gradient flow."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import jax
+import jax.numpy as jnp
+
+from vcrnet_tpu import geometry
+from vcrnet_tpu.config import Config
+from vcrnet_tpu.models import (
+    VCRNet,
+    DCP,
+    LPD,
+    icp_register,
+    vcrnet_iter,
+)
+from vcrnet_tpu.models import heads
+from vcrnet_tpu.models.vcrnet import vcrnet_icp
+
+
+def make_pair(rng, batch=2, n=64, angle_deg=30.0, t_scale=0.3):
+    src = rng.randn(batch, n, 3).astype(np.float32)
+    angles = rng.uniform(0, np.radians(angle_deg), (batch, 3))
+    R = Rotation.from_euler("zyx", angles).as_matrix().astype(np.float32)
+    t = rng.uniform(-t_scale, t_scale, (batch, 3)).astype(np.float32)
+    tgt = np.einsum("bij,bnj->bni", R, src) + t[:, None, :]
+    return jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(R), jnp.asarray(t)
+
+
+class TestVcpHeads:
+    def test_whole_recovers_transform_with_perfect_embeddings(self):
+        # when the embedding IS the (aligned) geometry, the soft
+        # correspondence must recover the exact transform via procrustes
+        rng = np.random.RandomState(0)
+        src, tgt, R_gt, t_gt = make_pair(rng, n=128)
+        # perfect embeddings: use gt-aligned source coords as both embeddings
+        src_emb = geometry.transform_points(src, R_gt, t_gt) * 10
+        tgt_emb = tgt * 10
+        s, corr = heads.vcp_top_k_whole(src_emb, tgt_emb, src, tgt)
+        R, t = geometry.procrustes(s, corr)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_gt), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=1e-2)
+
+    def test_partial_static_shapes(self):
+        cfg = Config(partial=True, overlap=0.575, num_points=1024)
+        rng = np.random.RandomState(1)
+        n = cfg.n_cropped  # 768
+        src, tgt, _, _ = make_pair(rng, batch=2, n=n)
+        emb = rng.randn(2, n, 32).astype(np.float32)
+        s, corr = heads.vcp_top_k_partial(
+            jnp.asarray(emb), jnp.asarray(emb), src, tgt, cfg.overlap2
+        )
+        k1 = int(n * 0.84 * cfg.overlap2)
+        k2 = int(k1 * 0.52 * cfg.overlap2)
+        assert s.shape == (2, k2, 3)
+        assert corr.shape == (2, k2, 3)
+
+    def test_partial_recovers_transform_with_perfect_embeddings(self):
+        cfg = Config(partial=True, overlap=0.575, num_points=256)
+        rng = np.random.RandomState(2)
+        n = cfg.n_cropped
+        src, tgt, R_gt, t_gt = make_pair(rng, batch=2, n=n, angle_deg=20)
+        src_emb = geometry.transform_points(src, R_gt, t_gt) * 10
+        tgt_emb = tgt * 10
+        s, corr = heads.vcp_top_k_partial(src_emb, tgt_emb, src, tgt, cfg.overlap2)
+        R, t = geometry.procrustes(s, corr)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_gt), atol=5e-2)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=5e-2)
+
+    def test_dist_head_shapes(self):
+        rng = np.random.RandomState(3)
+        src, tgt, _, _ = make_pair(rng)
+        emb = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+        s, corr = heads.vcp_by_dis(emb, emb, src, tgt)
+        assert s.shape == src.shape and corr.shape == src.shape
+
+
+class TestICP:
+    def test_icp_recovers_small_transform(self):
+        rng = np.random.RandomState(4)
+        src, tgt, R_gt, t_gt = make_pair(rng, batch=2, n=256, angle_deg=10, t_scale=0.1)
+        _, aligned, R, t, R_ba, t_ba = icp_register(src, tgt, max_iterations=50)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_gt), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=1e-3)
+        # inverse consistency
+        R_id, t_id = geometry.compose_transforms(R_ba, t_ba, R, t)
+        np.testing.assert_allclose(
+            np.asarray(R_id), np.tile(np.eye(3), (2, 1, 1)), atol=1e-4
+        )
+
+    def test_icp_jits(self):
+        rng = np.random.RandomState(5)
+        src, tgt, _, _ = make_pair(rng, batch=1, n=64, angle_deg=5)
+        f = jax.jit(lambda s, d: icp_register(s, d, max_iterations=10))
+        out = f(src, tgt)
+        assert np.all(np.isfinite(np.asarray(out[2])))
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return Config(num_points=64, emb_dims=64, ff_dims=128, n_heads=4)
+
+
+class TestVCRNet:
+    def test_forward_shapes_whole(self, small_cfg):
+        rng = np.random.RandomState(6)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=small_cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        src_k, corr, R, t, R_ba, t_ba = model.apply(variables, src, tgt)
+        assert src_k.shape == (2, 64, 3)
+        assert corr.shape == (2, 64, 3)
+        assert R.shape == (2, 3, 3) and t.shape == (2, 3)
+        # R must be a proper rotation
+        np.testing.assert_allclose(np.linalg.det(np.asarray(R)), 1.0, atol=1e-4)
+
+    def test_forward_shapes_partial(self):
+        cfg = Config(
+            num_points=128, emb_dims=64, ff_dims=128, partial=True, overlap=0.575
+        )
+        rng = np.random.RandomState(7)
+        n = cfg.n_cropped
+        src, tgt, _, _ = make_pair(rng, batch=2, n=n)
+        model = VCRNet(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        src_k, corr, R, t, _, _ = model.apply(variables, src, tgt)
+        k1 = int(n * 0.84 * cfg.overlap2)
+        k2 = int(k1 * 0.52 * cfg.overlap2)
+        assert src_k.shape == (2, k2, 3)
+        np.testing.assert_allclose(np.linalg.det(np.asarray(R)), 1.0, atol=1e-4)
+
+    @pytest.mark.parametrize("emb_nn", ["pointnet", "dgcnn"])
+    def test_other_embeddings(self, emb_nn):
+        cfg = Config(num_points=64, emb_dims=64, ff_dims=128, emb_nn=emb_nn)
+        rng = np.random.RandomState(8)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        out = model.apply(variables, src, tgt)
+        assert np.all(np.isfinite(np.asarray(out[2])))
+
+    @pytest.mark.parametrize("vcp_nn", ["att", "dist"])
+    def test_other_heads(self, vcp_nn):
+        cfg = Config(num_points=64, emb_dims=64, ff_dims=128, vcp_nn=vcp_nn)
+        rng = np.random.RandomState(9)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        out = model.apply(variables, src, tgt)
+        assert np.all(np.isfinite(np.asarray(out[2])))
+
+    def test_identity_pointer_and_t3d(self):
+        cfg = Config(
+            num_points=64, emb_dims=64, ff_dims=128, pointer="identity",
+            t3d=True, tfea=True,
+        )
+        rng = np.random.RandomState(10)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        out = model.apply(variables, src, tgt)
+        assert np.all(np.isfinite(np.asarray(out[2])))
+
+    def test_grads_flow_point_loss(self, small_cfg):
+        rng = np.random.RandomState(11)
+        src, tgt, R_gt, t_gt = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=small_cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+
+        def loss_fn(params):
+            src_k, corr, *_ = model.apply({"params": params}, src, tgt)
+            moved = geometry.transform_points(src_k, R_gt, t_gt)
+            return jnp.mean((moved - corr) ** 2)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        # embedding grads must be nonzero
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert total > 0
+
+    def test_vcrnet_iter_composes(self, small_cfg):
+        rng = np.random.RandomState(12)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=small_cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        out = vcrnet_iter(model.apply, variables, src, tgt, n_iter=3)
+        R, t = out[2], out[3]
+        np.testing.assert_allclose(np.linalg.det(np.asarray(R)), 1.0, atol=1e-4)
+
+    def test_vcrnet_icp_refinement(self, small_cfg):
+        rng = np.random.RandomState(13)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64, angle_deg=5)
+        model = VCRNet(cfg=small_cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        out = vcrnet_icp(model.apply, variables, src, tgt, max_iterations=10)
+        np.testing.assert_allclose(np.linalg.det(np.asarray(out[2])), 1.0, atol=1e-4)
+
+
+class TestDCP:
+    def test_svd_head(self):
+        cfg = Config(model="dcp", num_points=64, emb_dims=64, ff_dims=128)
+        rng = np.random.RandomState(14)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = DCP(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        R, t, R_ba, t_ba, s, corr = model.apply(variables, src, tgt)
+        assert R.shape == (2, 3, 3)
+        np.testing.assert_allclose(np.linalg.det(np.asarray(R)), 1.0, atol=1e-4)
+
+    def test_mlp_head(self):
+        cfg = Config(model="dcp", head="mlp", num_points=64, emb_dims=64, ff_dims=128)
+        rng = np.random.RandomState(15)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = DCP(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        out, _ = model.apply(
+            variables, src, tgt, True, mutable=["batch_stats"]
+        )
+        R = out[0]
+        # unit quaternion -> proper rotation
+        np.testing.assert_allclose(np.linalg.det(np.asarray(R)), 1.0, atol=1e-4)
+
+
+class TestLPD:
+    def test_loss_finite_and_grads(self):
+        cfg = Config(model="lpd", num_points=64, emb_dims=64)
+        rng = np.random.RandomState(16)
+        src = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        tgt = src + 0.01 * jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        model = LPD(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+
+        def loss_fn(params):
+            _, _, loss, _, _ = model.apply({"params": params}, src, tgt)
+            return loss
+
+        loss, g = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)

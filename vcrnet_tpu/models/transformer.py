@@ -1,0 +1,208 @@
+"""Transformer pointer: 1-block encoder-decoder cross-attention, run twice
+symmetrically over (src, tgt), with the partial-overlap attention re-mask.
+
+Reference model/transformer.py. Key semantics reproduced:
+  * one shared EncoderDecoder applied in both directions
+    (transformer.py:269-270) — flax gives us weight sharing by calling the
+    same submodule twice;
+  * pre-norm sublayer residuals ``x + f(norm(x))`` with a FINAL norm at both
+    encoder and decoder output (transformer.py:108-131, 147-153);
+  * torch-style LayerNorm: unbiased std in the denominator, ``(x-mu)/(std+eps)``
+    (transformer.py:134-144) — note std not var, N-1 not N;
+  * partial-overlap re-mask in the decoder's src-attention only
+    (transformer.py:13-55, enabled at 251-255): after the first softmax, sum
+    attention mass over heads+queries per KEY, keep the top
+    ``int(num_key * overlap2)`` keys, re-mask scores to -1e9, re-softmax.
+    The top-k size is static (a function of config), so the whole re-mask is
+    one top_k + scatter + where under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class TorchLayerNorm(nn.Module):
+    """LayerNorm with torch ``x.std(-1)`` semantics (unbiased, std-not-var)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        a = self.param("a_2", nn.initializers.ones, (d,))
+        b = self.param("b_2", nn.initializers.zeros, (d,))
+        mean = x.mean(axis=-1, keepdims=True)
+        var = ((x - mean) ** 2).sum(axis=-1, keepdims=True) / (d - 1)
+        std = jnp.sqrt(var)
+        return a * (x - mean) / (std + self.eps) + b
+
+
+def _remask_topk_keys(scores: jax.Array, p_attn: jax.Array, keep_k: int):
+    """Partial-overlap re-mask (reference transformer.py:36-53).
+
+    scores/p_attn: [B, H, Nq, Nk]. Keep the keep_k keys with the largest
+    total attention mass (summed over heads and queries), push the rest to
+    -1e9, re-softmax.
+    """
+    col_mass = p_attn.sum(axis=(1, 2))  # [B, Nk]
+    _, idx = jax.lax.top_k(col_mass, keep_k)  # [B, keep_k]
+    mask = jnp.zeros(col_mass.shape, dtype=bool)
+    mask = jnp.put_along_axis(mask, idx, True, axis=-1, inplace=False)
+    scores = jnp.where(mask[:, None, None, :], scores, -1e9)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+class MultiHeadAttention(nn.Module):
+    """4-linear MHA (q, k, v, out), optional partial-overlap key re-mask."""
+
+    n_heads: int
+    d_model: int
+    remask: bool = False
+    overlap2: float = 1.0
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array):
+        B, Nq, _ = query.shape
+        Nk = key.shape[1]
+        h, d_k = self.n_heads, self.d_model // self.n_heads
+
+        def proj(x, name):
+            y = nn.Dense(self.d_model, name=name)(x)
+            return y.reshape(B, -1, h, d_k).transpose(0, 2, 1, 3)  # [B,H,N,dk]
+
+        q = proj(query, "linear_q")
+        k = proj(key, "linear_k")
+        v = proj(value, "linear_v")
+
+        scores = (
+            jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=self.precision)
+            / jnp.sqrt(jnp.asarray(d_k, q.dtype))
+        )
+        p_attn = jax.nn.softmax(scores, axis=-1)
+        if self.remask:
+            keep_k = int(Nk * self.overlap2)
+            p_attn = _remask_topk_keys(scores, p_attn, keep_k)
+
+        x = jnp.einsum("bhnm,bhmd->bhnd", p_attn, v, precision=self.precision)
+        x = x.transpose(0, 2, 1, 3).reshape(B, Nq, self.d_model)
+        return nn.Dense(self.d_model, name="linear_out")(x)
+
+
+class FeedForward(nn.Module):
+    """w2(relu(w1(x))) (reference transformer.py:227-238; its norm slot is
+    an identity Sequential)."""
+
+    d_ff: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.relu(nn.Dense(self.d_ff, name="w_1")(x))
+        return nn.Dense(self.d_model, name="w_2")(x)
+
+
+class EncoderLayer(nn.Module):
+    n_heads: int
+    d_model: int
+    d_ff: int
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        attn = MultiHeadAttention(
+            self.n_heads, self.d_model, precision=self.precision, name="self_attn"
+        )
+        y = TorchLayerNorm(name="norm0")(x)
+        x = x + attn(y, y, y)
+        y = TorchLayerNorm(name="norm1")(x)
+        return x + FeedForward(self.d_ff, self.d_model, name="ff")(y)
+
+
+class DecoderLayer(nn.Module):
+    n_heads: int
+    d_model: int
+    d_ff: int
+    partial: bool = False
+    overlap2: float = 1.0
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, memory: jax.Array) -> jax.Array:
+        self_attn = MultiHeadAttention(
+            self.n_heads, self.d_model, precision=self.precision, name="self_attn"
+        )
+        src_attn = MultiHeadAttention(
+            self.n_heads,
+            self.d_model,
+            remask=self.partial,
+            overlap2=self.overlap2,
+            precision=self.precision,
+            name="src_attn",
+        )
+        y = TorchLayerNorm(name="norm0")(x)
+        x = x + self_attn(y, y, y)
+        y = TorchLayerNorm(name="norm1")(x)
+        x = x + src_attn(y, memory, memory)
+        y = TorchLayerNorm(name="norm2")(x)
+        return x + FeedForward(self.d_ff, self.d_model, name="ff")(y)
+
+
+class TransformerPointer(nn.Module):
+    """The full pointer: encode one cloud, decode the other against it, in
+    both directions with SHARED weights (reference transformer.py:241-272).
+
+    __call__(src_emb, tgt_emb) -> (src_delta, tgt_delta), the residuals the
+    caller adds back (reference vcrnet_model.py:503-505).
+    """
+
+    emb_dims: int = 512
+    n_blocks: int = 1
+    n_heads: int = 4
+    ff_dims: int = 1024
+    partial: bool = False
+    overlap2: float = 1.0
+    precision: Any = None
+
+    def setup(self):
+        self.enc_layers = [
+            EncoderLayer(
+                self.n_heads, self.emb_dims, self.ff_dims, precision=self.precision
+            )
+            for _ in range(self.n_blocks)
+        ]
+        self.dec_layers = [
+            DecoderLayer(
+                self.n_heads,
+                self.emb_dims,
+                self.ff_dims,
+                partial=self.partial,
+                overlap2=self.overlap2,
+                precision=self.precision,
+            )
+            for _ in range(self.n_blocks)
+        ]
+        self.enc_norm = TorchLayerNorm()
+        self.dec_norm = TorchLayerNorm()
+
+    def _encode(self, x):
+        for layer in self.enc_layers:
+            x = layer(x)
+        return self.enc_norm(x)
+
+    def _decode(self, x, memory):
+        for layer in self.dec_layers:
+            x = layer(x, memory)
+        return self.dec_norm(x)
+
+    def __call__(self, src_emb: jax.Array, tgt_emb: jax.Array):
+        # reference transformer.py:269-270: tgt' = model(src, tgt),
+        # src' = model(tgt, src); model(a, b) = decode(b | encode(a))
+        tgt_delta = self._decode(tgt_emb, self._encode(src_emb))
+        src_delta = self._decode(src_emb, self._encode(tgt_emb))
+        return src_delta, tgt_delta

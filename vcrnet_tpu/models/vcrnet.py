@@ -1,0 +1,151 @@
+"""VCR-Net assembly + eval-time refinement loops.
+
+Reference model/vcrnet_model.py:463-518 (assembly), 21-43 (vcrnetIter),
+46-62 (ICP post-refinement). The SVD head is the shared batched Procrustes
+solve from geometry.py — no per-item python SVD loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vcrnet_tpu import geometry
+from vcrnet_tpu.config import Config
+from vcrnet_tpu.models.embeddings import LPDNet, DGCNN, PointNet
+from vcrnet_tpu.models.transformer import TransformerPointer
+from vcrnet_tpu.models import heads
+from vcrnet_tpu.models.icp import icp_register
+
+
+def make_embedding(cfg: Config, for_lpd_pretrain: bool = False):
+    precision = _precision(cfg)
+    if cfg.emb_nn == "pointnet":
+        return PointNet(emb_dims=cfg.emb_dims)
+    if cfg.emb_nn == "dgcnn":
+        return DGCNN(emb_dims=cfg.emb_dims, precision=precision)
+    if cfg.emb_nn == "lpdnet":
+        return LPDNet(
+            emb_dims=cfg.emb_dims,
+            negative_slope=0.2 if for_lpd_pretrain else 0.0,
+            t3d=cfg.t3d,
+            tfea=cfg.tfea,
+            precision=precision,
+        )
+    raise ValueError(f"unknown emb_nn: {cfg.emb_nn}")
+
+
+def _precision(cfg: Config):
+    # bfloat16 MXU path for the big matmuls; float32 for exact parity
+    return (
+        jax.lax.Precision.DEFAULT
+        if cfg.compute_dtype == "bfloat16"
+        else jax.lax.Precision.HIGHEST
+    )
+
+
+class VCRNet(nn.Module):
+    """embed -> transformer pointer (residual) -> VCP head -> SVD solve.
+
+    __call__(src, tgt) with src/tgt [B, N, 3] returns
+    (srcK, src_corrK, R_ab, t_ab, R_ba, t_ba) like reference
+    vcrnet_model.py:495-518.
+    """
+
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.emb_nn = make_embedding(cfg)
+        if cfg.pointer == "transformer":
+            self.pointer = TransformerPointer(
+                emb_dims=cfg.emb_dims,
+                n_blocks=cfg.n_blocks,
+                n_heads=cfg.n_heads,
+                ff_dims=cfg.ff_dims,
+                partial=cfg.partial,
+                overlap2=cfg.overlap2,
+                precision=_precision(cfg),
+            )
+        elif cfg.pointer == "identity":
+            self.pointer = None
+        else:
+            raise ValueError(f"unknown pointer: {cfg.pointer}")
+        if cfg.vcp_nn == "att":
+            self.vcp_att = heads.VcpAtt(
+                emb_dims=cfg.emb_dims, precision=_precision(cfg)
+            )
+
+    def _vcp(self, src_emb, tgt_emb, src, tgt):
+        cfg = self.cfg
+        precision = _precision(cfg)
+        if cfg.vcp_nn == "topK":
+            if cfg.partial:
+                return heads.vcp_top_k_partial(
+                    src_emb, tgt_emb, src, tgt, cfg.overlap2, precision=precision
+                )
+            return heads.vcp_top_k_whole(
+                src_emb, tgt_emb, src, tgt, precision=precision
+            )
+        if cfg.vcp_nn == "dist":
+            return heads.vcp_by_dis(src_emb, tgt_emb, src, tgt, precision=precision)
+        if cfg.vcp_nn == "att":
+            return self.vcp_att(src_emb, tgt_emb, src, tgt)
+        raise ValueError(f"unknown vcp_nn: {self.cfg.vcp_nn}")
+
+    def __call__(self, src: jax.Array, tgt: jax.Array, train: bool = False):
+        src_emb = self.emb_nn(src, train=train)
+        tgt_emb = self.emb_nn(tgt, train=train)
+
+        if self.pointer is not None:
+            src_delta, tgt_delta = self.pointer(src_emb, tgt_emb)
+            src_emb = src_emb + src_delta
+            tgt_emb = tgt_emb + tgt_delta
+
+        src_k, src_corr_k = self._vcp(src_emb, tgt_emb, src, tgt)
+        R_ab, t_ab = geometry.procrustes(src_k, src_corr_k)
+
+        if self.cfg.cycle:
+            tgt_k, tgt_corr_k = self._vcp(tgt_emb, src_emb, tgt, src)
+            R_ba, t_ba = geometry.procrustes(tgt_k, tgt_corr_k)
+        else:
+            R_ba, t_ba = geometry.invert_transform(R_ab, t_ab)
+
+        return src_k, src_corr_k, R_ab, t_ab, R_ba, t_ba
+
+
+def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int):
+    """Iterative eval-time refinement (reference vcrnetIter,
+    vcrnet_model.py:21-43): re-run the net on the transformed source and
+    compose. n_iter is static (small), so a python loop unrolls under jit.
+    """
+    transformed = src
+    R_final = None
+    t_final = None
+    out = None
+    for _ in range(n_iter):
+        out = apply_fn(variables, transformed, tgt)
+        src_k, src_corr_k, R_ab, t_ab, _, _ = out
+        transformed = geometry.transform_points(transformed, R_ab, t_ab)
+        if R_final is None:
+            R_final, t_final = R_ab, t_ab
+        else:
+            R_final, t_final = geometry.compose_transforms(R_ab, t_ab, R_final, t_final)
+    R_ba, t_ba = geometry.invert_transform(R_final, t_final)
+    return out[0], out[1], R_final, t_final, R_ba, t_ba
+
+
+def vcrnet_icp(apply_fn, variables, src, tgt, max_iterations: int):
+    """Net once, then classical ICP refinement, composed (reference
+    vcrnetIcpNet, vcrnet_model.py:46-62)."""
+    src_k, src_corr_k, R_ab, t_ab, _, _ = apply_fn(variables, src, tgt)
+    transformed = geometry.transform_points(src, R_ab, t_ab)
+    _, _, R_icp, t_icp, _, _ = icp_register(
+        transformed, tgt, max_iterations=max_iterations
+    )
+    R_ab, t_ab = geometry.compose_transforms(R_icp, t_icp, R_ab, t_ab)
+    R_ba, t_ba = geometry.invert_transform(R_ab, t_ab)
+    return src_k, src_corr_k, R_ab, t_ab, R_ba, t_ba
