@@ -30,9 +30,14 @@ def lazy_triplet_loss(src_emb_k, tgt_emb_k, neg_emb, margin: float = 1.0):
     return jnp.maximum(0.0, 1.0 - dn / (margin + dp))
 
 
-def lpd_loss(src, src_emb, tgt_emb, k: int = 32, neg_k: int = 8):
+def lpd_loss(src, src_emb, tgt_emb, k: int = 32, neg_k: int = 8,
+             per_sample: bool = False):
     """Full LPD loss: lazy triplet over FPS anchors + embedding-norm
-    regulariser x 0.03 (reference getLoss, lpdnet_model.py:191-229)."""
+    regulariser x 0.03 (reference getLoss, lpdnet_model.py:191-229).
+
+    With ``per_sample=True`` returns a [B] vector (per-sample means) so the
+    engine can mask padded eval samples; its weighted mean equals the scalar.
+    """
     sample_idx = farthest_point_sample(src, k)  # [B, k]
     take = lambda arr, idx: jnp.take_along_axis(arr, idx[:, :, None], axis=1)
     src_k = take(src, sample_idx)  # [B, k, 3]
@@ -47,13 +52,17 @@ def lpd_loss(src, src_emb, tgt_emb, k: int = 32, neg_k: int = 8):
         tgt_emb_k, far_idx.reshape(B, K * neg_k)[:, :, None], axis=1
     ).reshape(B, K, neg_k, E)
 
-    loss_triplet = lazy_triplet_loss(src_emb_k, tgt_emb_k, neg).mean()
+    triplet = lazy_triplet_loss(src_emb_k, tgt_emb_k, neg)  # [B, K]
 
     src_len = jnp.linalg.norm(src_emb, axis=-1)  # [B, N]
     tgt_len = jnp.linalg.norm(tgt_emb, axis=-1)
+    if per_sample:
+        norm1 = jnp.sqrt(jnp.mean((src_len - 1.0) ** 2, axis=1))  # [B]
+        norm2 = jnp.sqrt(jnp.mean((tgt_len - 1.0) ** 2, axis=1))
+        return triplet.mean(axis=1) + (norm1 + norm2) / 2.0 * 0.03
     loss_norm1 = jnp.sqrt(jnp.mean((src_len - 1.0) ** 2))
     loss_norm2 = jnp.sqrt(jnp.mean((tgt_len - 1.0) ** 2))
-    return loss_triplet + (loss_norm1 + loss_norm2) / 2.0 * 0.03
+    return triplet.mean() + (loss_norm1 + loss_norm2) / 2.0 * 0.03
 
 
 class LPD(nn.Module):

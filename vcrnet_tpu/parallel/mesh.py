@@ -1,0 +1,59 @@
+"""Device-mesh data parallelism.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(util/initPara.py:260): replicate the module, scatter the batch over local
+GPUs, gather outputs. The TPU-native equivalent is a 1-D ``jax.sharding.Mesh``
+over the 'data' axis: the batch is sharded, parameters are replicated, and
+the gradient all-reduce falls out of jit's partitioner as a psum over ICI —
+no explicit collectives, no process groups. Written mesh-first so multi-host
+slices work unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis split over the data mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict with its leading axis sharded over devices."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def pad_to_multiple(batch: dict, multiple: int) -> dict:
+    """Pad the batch axis so it divides the mesh (padding rows get
+    valid=0 so metrics ignore them)."""
+    b = batch["src"].shape[0]
+    rem = b % multiple
+    if rem == 0:
+        return batch
+    pad = multiple - rem
+    out = {}
+    for k, v in batch.items():
+        out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+    if "valid" in out:
+        out["valid"][-pad:] = 0.0
+    return out
