@@ -20,8 +20,14 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     T1 = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     T2 = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    mode = sys.argv[4] if len(sys.argv) > 4 else "exact"
     N = 1024
-    cfg = Config(num_points=N, emb_dims=512)
+    cfg = Config(
+        num_points=N, emb_dims=512,
+        compute_dtype="bfloat16" if mode == "fast" else "float32",
+        approx_knn=(mode == "fast"),
+    )
+    print(f"mode={mode}", flush=True)
     model = VCRNet(cfg=cfg)
     rng = np.random.RandomState(0)
     src = jax.device_put(rng.rand(B, N, 3).astype(np.float32) - 0.5)

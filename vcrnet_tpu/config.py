@@ -101,6 +101,7 @@ class Config:
 
     # TPU-specific (no reference equivalent)
     compute_dtype: str = "float32"  # float32 | bfloat16 for matmul-heavy paths
+    approx_knn: bool = False  # TPU approx_max_k for the [B,N,N] kNN top-k
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all
 
     # ---- derived (computed in __post_init__) ----

@@ -13,7 +13,7 @@ from flax import linen as nn
 
 from vcrnet_tpu import geometry
 from vcrnet_tpu.config import Config
-from vcrnet_tpu.models.vcrnet import make_embedding, _precision
+from vcrnet_tpu.models.vcrnet import make_embedding, _precision, _dtype
 from vcrnet_tpu.models.transformer import TransformerPointer
 
 
@@ -72,6 +72,7 @@ class DCP(nn.Module):
                 partial=cfg.partial,
                 overlap2=cfg.overlap2,
                 precision=_precision(cfg),
+                dtype=_dtype(cfg),
             )
         elif cfg.pointer == "identity":
             self.pointer = None

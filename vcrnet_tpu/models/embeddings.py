@@ -43,6 +43,10 @@ class LPDNet(nn.Module):
     neighborhood fusion on the original xyz (reference lpdnet_model.py:103-137).
 
     Input  [B, N, 3] -> output [B, N, emb_dims].
+
+    ``dtype=bfloat16`` runs the Dense matmuls on the MXU in bf16 (params stay
+    float32); ``approx_knn`` swaps the exact [B,N,N] top-k for the
+    TPU-optimised approx_max_k.
     """
 
     emb_dims: int = 512
@@ -51,6 +55,8 @@ class LPDNet(nn.Module):
     t3d: bool = False
     tfea: bool = False
     precision: Any = None
+    dtype: Any = None
+    approx_knn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -58,6 +64,7 @@ class LPDNet(nn.Module):
         dense = lambda feats, name: nn.Dense(
             feats,
             name=name,
+            dtype=self.dtype,
             kernel_init=_kaiming_uniform(self.negative_slope),
             bias_init=nn.initializers.zeros,
         )
@@ -75,14 +82,19 @@ class LPDNet(nn.Module):
             x = jnp.einsum("bnc,bcd->bnd", x, trans, precision=self.precision)
 
         # dynamic graph in feature space
-        gf = graph_feature(x, k=self.k, precision=self.precision)  # [B,N,k,128]
+        gf = graph_feature(
+            x, k=self.k, precision=self.precision, approx=self.approx_knn
+        )  # [B,N,k,128]
         x = act(dense(128, "convDG1")(gf))
         x1 = x.max(axis=2)  # [B,N,128]
         x = act(dense(128, "convDG2")(x))
         x2 = x.max(axis=2)  # [B,N,128]
 
         # spatial neighborhood fusion: kNN on the ORIGINAL xyz coords
-        idx = knn(x_init_3d, k=self.k, precision=self.precision)
+        idx = knn(
+            x_init_3d, k=self.k, precision=self.precision,
+            approx=self.approx_knn,
+        )
         gf = graph_feature(x2, idx=idx)  # [B,N,k,256]
         x = act(dense(256, "convSN1")(gf))
         x3 = x.max(axis=2)  # [B,N,256]
@@ -121,16 +133,22 @@ class DGCNN(nn.Module):
     emb_dims: int = 512
     k: int = 20
     precision: Any = None
+    dtype: Any = None
+    approx_knn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
         )
-        dense = lambda feats, name: nn.Dense(feats, use_bias=False, name=name)
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, name=name, dtype=self.dtype
+        )
 
         B, N, _ = x.shape
-        g = graph_feature(x, k=self.k, precision=self.precision)  # [B,N,k,6]
+        g = graph_feature(
+            x, k=self.k, precision=self.precision, approx=self.approx_knn
+        )  # [B,N,k,6]
 
         x = nn.relu(bn("bn1")(dense(64, "conv1")(g)))
         x1 = x.max(axis=2)

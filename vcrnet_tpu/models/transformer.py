@@ -36,6 +36,7 @@ class TorchLayerNorm(nn.Module):
         d = x.shape[-1]
         a = self.param("a_2", nn.initializers.ones, (d,))
         b = self.param("b_2", nn.initializers.zeros, (d,))
+        x = x.astype(jnp.float32)  # normalise in f32 even on the bf16 path
         mean = x.mean(axis=-1, keepdims=True)
         var = ((x - mean) ** 2).sum(axis=-1, keepdims=True) / (d - 1)
         std = jnp.sqrt(var)
@@ -65,6 +66,7 @@ class MultiHeadAttention(nn.Module):
     remask: bool = False
     overlap2: float = 1.0
     precision: Any = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array):
@@ -73,25 +75,28 @@ class MultiHeadAttention(nn.Module):
         h, d_k = self.n_heads, self.d_model // self.n_heads
 
         def proj(x, name):
-            y = nn.Dense(self.d_model, name=name)(x)
+            y = nn.Dense(self.d_model, name=name, dtype=self.dtype)(x)
             return y.reshape(B, -1, h, d_k).transpose(0, 2, 1, 3)  # [B,H,N,dk]
 
         q = proj(query, "linear_q")
         k = proj(key, "linear_k")
         v = proj(value, "linear_v")
 
-        scores = (
-            jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=self.precision)
-            / jnp.sqrt(jnp.asarray(d_k, q.dtype))
-        )
+        scores = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, precision=self.precision,
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
         p_attn = jax.nn.softmax(scores, axis=-1)
         if self.remask:
             keep_k = int(Nk * self.overlap2)
             p_attn = _remask_topk_keys(scores, p_attn, keep_k)
 
-        x = jnp.einsum("bhnm,bhmd->bhnd", p_attn, v, precision=self.precision)
+        x = jnp.einsum(
+            "bhnm,bhmd->bhnd", p_attn.astype(v.dtype), v,
+            precision=self.precision, preferred_element_type=jnp.float32,
+        )
         x = x.transpose(0, 2, 1, 3).reshape(B, Nq, self.d_model)
-        return nn.Dense(self.d_model, name="linear_out")(x)
+        return nn.Dense(self.d_model, name="linear_out", dtype=self.dtype)(x)
 
 
 class FeedForward(nn.Module):
@@ -100,11 +105,12 @@ class FeedForward(nn.Module):
 
     d_ff: int
     d_model: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.relu(nn.Dense(self.d_ff, name="w_1")(x))
-        return nn.Dense(self.d_model, name="w_2")(x)
+        x = nn.relu(nn.Dense(self.d_ff, name="w_1", dtype=self.dtype)(x))
+        return nn.Dense(self.d_model, name="w_2", dtype=self.dtype)(x)
 
 
 class EncoderLayer(nn.Module):
@@ -112,16 +118,20 @@ class EncoderLayer(nn.Module):
     d_model: int
     d_ff: int
     precision: Any = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         attn = MultiHeadAttention(
-            self.n_heads, self.d_model, precision=self.precision, name="self_attn"
+            self.n_heads, self.d_model, precision=self.precision,
+            dtype=self.dtype, name="self_attn",
         )
         y = TorchLayerNorm(name="norm0")(x)
         x = x + attn(y, y, y)
         y = TorchLayerNorm(name="norm1")(x)
-        return x + FeedForward(self.d_ff, self.d_model, name="ff")(y)
+        return x + FeedForward(
+            self.d_ff, self.d_model, dtype=self.dtype, name="ff"
+        )(y)
 
 
 class DecoderLayer(nn.Module):
@@ -131,11 +141,13 @@ class DecoderLayer(nn.Module):
     partial: bool = False
     overlap2: float = 1.0
     precision: Any = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, memory: jax.Array) -> jax.Array:
         self_attn = MultiHeadAttention(
-            self.n_heads, self.d_model, precision=self.precision, name="self_attn"
+            self.n_heads, self.d_model, precision=self.precision,
+            dtype=self.dtype, name="self_attn",
         )
         src_attn = MultiHeadAttention(
             self.n_heads,
@@ -143,6 +155,7 @@ class DecoderLayer(nn.Module):
             remask=self.partial,
             overlap2=self.overlap2,
             precision=self.precision,
+            dtype=self.dtype,
             name="src_attn",
         )
         y = TorchLayerNorm(name="norm0")(x)
@@ -150,7 +163,9 @@ class DecoderLayer(nn.Module):
         y = TorchLayerNorm(name="norm1")(x)
         x = x + src_attn(y, memory, memory)
         y = TorchLayerNorm(name="norm2")(x)
-        return x + FeedForward(self.d_ff, self.d_model, name="ff")(y)
+        return x + FeedForward(
+            self.d_ff, self.d_model, dtype=self.dtype, name="ff"
+        )(y)
 
 
 class TransformerPointer(nn.Module):
@@ -168,11 +183,13 @@ class TransformerPointer(nn.Module):
     partial: bool = False
     overlap2: float = 1.0
     precision: Any = None
+    dtype: Any = None
 
     def setup(self):
         self.enc_layers = [
             EncoderLayer(
-                self.n_heads, self.emb_dims, self.ff_dims, precision=self.precision
+                self.n_heads, self.emb_dims, self.ff_dims,
+                precision=self.precision, dtype=self.dtype,
             )
             for _ in range(self.n_blocks)
         ]
@@ -184,6 +201,7 @@ class TransformerPointer(nn.Module):
                 partial=self.partial,
                 overlap2=self.overlap2,
                 precision=self.precision,
+                dtype=self.dtype,
             )
             for _ in range(self.n_blocks)
         ]

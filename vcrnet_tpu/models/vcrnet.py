@@ -23,10 +23,16 @@ from vcrnet_tpu.models.icp import icp_register
 
 def make_embedding(cfg: Config, for_lpd_pretrain: bool = False):
     precision = _precision(cfg)
+    dtype = _dtype(cfg)
     if cfg.emb_nn == "pointnet":
         return PointNet(emb_dims=cfg.emb_dims)
     if cfg.emb_nn == "dgcnn":
-        return DGCNN(emb_dims=cfg.emb_dims, precision=precision)
+        return DGCNN(
+            emb_dims=cfg.emb_dims,
+            precision=precision,
+            dtype=dtype,
+            approx_knn=cfg.approx_knn,
+        )
     if cfg.emb_nn == "lpdnet":
         return LPDNet(
             emb_dims=cfg.emb_dims,
@@ -34,6 +40,8 @@ def make_embedding(cfg: Config, for_lpd_pretrain: bool = False):
             t3d=cfg.t3d,
             tfea=cfg.tfea,
             precision=precision,
+            dtype=dtype,
+            approx_knn=cfg.approx_knn,
         )
     raise ValueError(f"unknown emb_nn: {cfg.emb_nn}")
 
@@ -45,6 +53,10 @@ def _precision(cfg: Config):
         if cfg.compute_dtype == "bfloat16"
         else jax.lax.Precision.HIGHEST
     )
+
+
+def _dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
 class VCRNet(nn.Module):
@@ -69,6 +81,7 @@ class VCRNet(nn.Module):
                 partial=cfg.partial,
                 overlap2=cfg.overlap2,
                 precision=_precision(cfg),
+                dtype=_dtype(cfg),
             )
         elif cfg.pointer == "identity":
             self.pointer = None

@@ -24,15 +24,23 @@ def pairwise_sqdist(
 ) -> jax.Array:
     """Squared euclidean distances between row-point sets.
 
-    x: [B, N, C], y: [B, M, C] (defaults to x) -> [B, N, M].
+    x: [B, N, C], y: [B, M, C] (defaults to x) -> [B, N, M] in float32.
     Uses the ||x||^2 - 2 x.y + ||y||^2 expansion (one MXU matmul), like
-    reference util/util.py:153-158 but channels-last.
+    reference util/util.py:153-158 but channels-last. The inner product runs
+    at the requested matmul ``precision`` (DEFAULT = single-pass bf16 on the
+    MXU) with a float32 accumulator; norms stay float32 on the VPU, so the
+    returned scores are always float32 regardless of precision.
     """
     if y is None:
         y = x
-    inner = jnp.einsum("bnc,bmc->bnm", x, y, precision=precision)
-    xx = jnp.sum(x * x, axis=-1)[:, :, None]
-    yy = jnp.sum(y * y, axis=-1)[:, None, :]
+    inner = jnp.einsum(
+        "bnc,bmc->bnm", x, y, precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    xx = jnp.sum(xf * xf, axis=-1)[:, :, None]
+    yy = jnp.sum(yf * yf, axis=-1)[:, None, :]
     return xx - 2.0 * inner + yy
 
 
@@ -44,13 +52,33 @@ def neg_pairwise_sqdist(
     return -pairwise_sqdist(x, y, precision=precision)
 
 
-def knn(x: jax.Array, k: int, precision=None) -> jax.Array:
+def knn(
+    x: jax.Array,
+    k: int,
+    precision=None,
+    approx: bool = False,
+    recall_target: float = 0.95,
+) -> jax.Array:
     """Indices of the k nearest neighbors, excluding self.
 
     x: [B, N, C] -> idx [B, N, k]. Matches reference util/util.py:143-160:
     top-(k+1) of the negated distance, drop the first column (self).
+
+    ``approx=True`` switches the selection to the TPU-optimised
+    ``jax.lax.approx_max_k`` (PartialReduce), ~10x faster than the full-sort
+    ``lax.top_k`` on [B, 1024, 1024] scores. The self-exclusion then can't
+    rely on the self-distance ranking first, so self is masked to -inf
+    before selection and exactly k indices are requested.
     """
     scores = neg_pairwise_sqdist(x, precision=precision)
+    if approx:
+        n = x.shape[1]
+        diag = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == (
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        )
+        scores = jnp.where(diag[None], -jnp.inf, scores)
+        _, idx = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+        return idx
     _, idx = jax.lax.top_k(scores, k + 1)
     return idx[..., 1:]
 
@@ -76,7 +104,11 @@ def gather_neighbors(feats: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def graph_feature(
-    feats: jax.Array, idx: jax.Array | None = None, k: int = 20, precision=None
+    feats: jax.Array,
+    idx: jax.Array | None = None,
+    k: int = 20,
+    precision=None,
+    approx: bool = False,
 ) -> jax.Array:
     """Edge-conv input tensor: concat(neighbor_feat, center_feat).
 
@@ -85,7 +117,7 @@ def graph_feature(
     (neighbor - center, center) — we reproduce the code, not the paper).
     """
     if idx is None:
-        idx = knn(feats, k=k, precision=precision)
+        idx = knn(feats, k=k, precision=precision, approx=approx)
     neigh = gather_neighbors(feats, idx)  # [B, N, k, C]
     center = jnp.broadcast_to(feats[:, :, None, :], neigh.shape)
     return jnp.concatenate([neigh, center], axis=-1)
