@@ -13,7 +13,7 @@ from flax import linen as nn
 
 from vcrnet_tpu import geometry
 from vcrnet_tpu.config import Config
-from vcrnet_tpu.models.vcrnet import make_embedding, _precision, _dtype
+from vcrnet_tpu.models.vcrnet import make_embedding, _precision, _dtype, _use_flash
 from vcrnet_tpu.models.transformer import TransformerPointer
 
 
@@ -73,6 +73,7 @@ class DCP(nn.Module):
                 overlap2=cfg.overlap2,
                 precision=_precision(cfg),
                 dtype=_dtype(cfg),
+                flash=_use_flash(cfg),
             )
         elif cfg.pointer == "identity":
             self.pointer = None

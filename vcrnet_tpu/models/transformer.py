@@ -59,7 +59,13 @@ def _remask_topk_keys(scores: jax.Array, p_attn: jax.Array, keep_k: int):
 
 
 class MultiHeadAttention(nn.Module):
-    """4-linear MHA (q, k, v, out), optional partial-overlap key re-mask."""
+    """4-linear MHA (q, k, v, out), optional partial-overlap key re-mask.
+
+    ``flash=True`` (fast TPU path, non-remasked heads only) computes the
+    attention with the Pallas flash-attention kernel — the [B, H, Nq, Nk]
+    score/probability tensors never touch HBM. The re-masked head needs the
+    full probability column sums, so it keeps the unfused path.
+    """
 
     n_heads: int
     d_model: int
@@ -67,6 +73,7 @@ class MultiHeadAttention(nn.Module):
     overlap2: float = 1.0
     precision: Any = None
     dtype: Any = None
+    flash: bool = False
 
     @nn.compact
     def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array):
@@ -82,19 +89,24 @@ class MultiHeadAttention(nn.Module):
         k = proj(key, "linear_k")
         v = proj(value, "linear_v")
 
-        scores = jnp.einsum(
-            "bhnd,bhmd->bhnm", q, k, precision=self.precision,
-            preferred_element_type=jnp.float32,
-        ) / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
-        p_attn = jax.nn.softmax(scores, axis=-1)
-        if self.remask:
-            keep_k = int(Nk * self.overlap2)
-            p_attn = _remask_topk_keys(scores, p_attn, keep_k)
+        if self.flash and not self.remask:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-        x = jnp.einsum(
-            "bhnm,bhmd->bhnd", p_attn.astype(v.dtype), v,
-            precision=self.precision, preferred_element_type=jnp.float32,
-        )
+            x = fa.flash_attention(q, k, v, sm_scale=1.0 / (d_k**0.5))
+        else:
+            scores = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, precision=self.precision,
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
+            p_attn = jax.nn.softmax(scores, axis=-1)
+            if self.remask:
+                keep_k = int(Nk * self.overlap2)
+                p_attn = _remask_topk_keys(scores, p_attn, keep_k)
+
+            x = jnp.einsum(
+                "bhnm,bhmd->bhnd", p_attn.astype(v.dtype), v,
+                precision=self.precision, preferred_element_type=jnp.float32,
+            )
         x = x.transpose(0, 2, 1, 3).reshape(B, Nq, self.d_model)
         return nn.Dense(self.d_model, name="linear_out", dtype=self.dtype)(x)
 
@@ -119,12 +131,13 @@ class EncoderLayer(nn.Module):
     d_ff: int
     precision: Any = None
     dtype: Any = None
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         attn = MultiHeadAttention(
             self.n_heads, self.d_model, precision=self.precision,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, flash=self.flash, name="self_attn",
         )
         y = TorchLayerNorm(name="norm0")(x)
         x = x + attn(y, y, y)
@@ -142,12 +155,13 @@ class DecoderLayer(nn.Module):
     overlap2: float = 1.0
     precision: Any = None
     dtype: Any = None
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, memory: jax.Array) -> jax.Array:
         self_attn = MultiHeadAttention(
             self.n_heads, self.d_model, precision=self.precision,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, flash=self.flash, name="self_attn",
         )
         src_attn = MultiHeadAttention(
             self.n_heads,
@@ -156,6 +170,7 @@ class DecoderLayer(nn.Module):
             overlap2=self.overlap2,
             precision=self.precision,
             dtype=self.dtype,
+            flash=self.flash,
             name="src_attn",
         )
         y = TorchLayerNorm(name="norm0")(x)
@@ -184,12 +199,13 @@ class TransformerPointer(nn.Module):
     overlap2: float = 1.0
     precision: Any = None
     dtype: Any = None
+    flash: bool = False
 
     def setup(self):
         self.enc_layers = [
             EncoderLayer(
                 self.n_heads, self.emb_dims, self.ff_dims,
-                precision=self.precision, dtype=self.dtype,
+                precision=self.precision, dtype=self.dtype, flash=self.flash,
             )
             for _ in range(self.n_blocks)
         ]
@@ -202,6 +218,7 @@ class TransformerPointer(nn.Module):
                 overlap2=self.overlap2,
                 precision=self.precision,
                 dtype=self.dtype,
+                flash=self.flash,
             )
             for _ in range(self.n_blocks)
         ]

@@ -59,6 +59,17 @@ def _dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
+def _use_flash(cfg: Config) -> bool:
+    """Pallas flash attention: fast path only, and only where a TPU backend
+    is actually present (the kernel doesn't run on CPU)."""
+    if cfg.compute_dtype != "bfloat16":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 class VCRNet(nn.Module):
     """embed -> transformer pointer (residual) -> VCP head -> SVD solve.
 
@@ -82,6 +93,7 @@ class VCRNet(nn.Module):
                 overlap2=cfg.overlap2,
                 precision=_precision(cfg),
                 dtype=_dtype(cfg),
+                flash=_use_flash(cfg),
             )
         elif cfg.pointer == "identity":
             self.pointer = None
