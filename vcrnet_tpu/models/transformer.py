@@ -92,7 +92,20 @@ class MultiHeadAttention(nn.Module):
         if self.flash and not self.remask:
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-            x = fa.flash_attention(q, k, v, sm_scale=1.0 / (d_k**0.5))
+            # full-length K blocks: at N<=1024, D=128 everything fits in
+            # VMEM and one-shot blocks beat the library defaults 6x
+            # (measured 1.3 ms vs 8.4 ms at B=64, H=4, N=1024)
+            bq = min(Nq, 1024)
+            bk = min(Nk, 1024)
+            bs = fa.BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+            )
+            x = fa.flash_attention(
+                q, k, v, sm_scale=1.0 / (d_k**0.5), block_sizes=bs
+            )
         else:
             scores = jnp.einsum(
                 "bhnd,bhmd->bhnm", q, k, precision=self.precision,
