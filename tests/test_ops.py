@@ -101,3 +101,33 @@ class TestFPS:
         dr = ((rand_pts[:, None] - rand_pts[None]) ** 2).sum(-1)
         np.fill_diagonal(dr, np.inf)
         assert d.min() > dr.min()
+
+
+class TestPallasKnn:
+    def test_fused_knn_matches_exact(self):
+        import jax
+        from vcrnet_tpu.ops.pallas_knn import fused_knn
+
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.rand(2, 256, 16).astype(np.float32))
+        exact = np.asarray(ops.knn(x, 8, method="exact"))
+        fused = np.asarray(fused_knn(x, 8, interpret=True))
+        # neighbor sets identical (ordering may differ only on exact ties)
+        same = np.mean(
+            [
+                len(set(exact[b, n]) & set(fused[b, n])) / 8.0
+                for b in range(2)
+                for n in range(256)
+            ]
+        )
+        assert same == 1.0
+
+    def test_auto_method_selects_exact_on_cpu(self):
+        import jax
+
+        assert jax.default_backend() == "cpu"
+        rng = np.random.RandomState(8)
+        x = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+        a = np.asarray(ops.knn(x, 5))          # auto -> exact on CPU
+        b = np.asarray(ops.knn(x, 5, method="exact"))
+        np.testing.assert_array_equal(a, b)

@@ -58,21 +58,36 @@ def knn(
     precision=None,
     approx: bool = False,
     recall_target: float = 0.95,
+    method: str | None = None,
 ) -> jax.Array:
     """Indices of the k nearest neighbors, excluding self.
 
     x: [B, N, C] -> idx [B, N, k]. Matches reference util/util.py:143-160:
     top-(k+1) of the negated distance, drop the first column (self).
 
-    ``approx=True`` switches the selection to the TPU-optimised
-    ``jax.lax.approx_max_k`` (PartialReduce), ~10x faster than the full-sort
-    ``lax.top_k`` on [B, 1024, 1024] scores. The self-exclusion then can't
-    rely on the self-distance ranking first, so self is masked to -inf
-    before selection and exactly k indices are requested.
+    Selection methods (measured at B=64, N=1024 on v5e):
+      'pallas'  fused distance-matmul + k-step argmax in VMEM, EXACT,
+                ~2.8 ms (the [B,N,N] scores never touch HBM) — default on TPU
+      'approx'  jax.lax.approx_max_k over the materialised scores, ~5 ms
+      'exact'   full-sort lax.top_k over the materialised scores, ~19 ms —
+                default off-TPU (Pallas needs interpret mode there)
     """
+    if method is None:
+        method = "approx" if approx else "auto"
+    n, c = x.shape[1], x.shape[2]
+    if method == "auto":
+        pallas_ok = (
+            jax.default_backend() == "tpu" and n % 2 == 0 and n <= 8192
+            and c <= 512
+        )
+        method = "pallas" if pallas_ok else "exact"
+
+    if method == "pallas":
+        from vcrnet_tpu.ops.pallas_knn import fused_knn
+
+        return fused_knn(x, k)
     scores = neg_pairwise_sqdist(x, precision=precision)
-    if approx:
-        n = x.shape[1]
+    if method == "approx":
         diag = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == (
             jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         )
