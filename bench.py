@@ -26,13 +26,10 @@ def bench_eval_throughput(batch: int = 64, iters: int = 20, warmup: int = 3):
     from vcrnet_tpu.config import Config
     from vcrnet_tpu.models import VCRNet
 
-    # fast TPU profile: bf16 MXU matmuls (f32 accumulation), approx kNN,
-    # flash attention — validated to <1 deg rotation deviation from the
-    # exact path (tests/test_fastpath.py)
-    cfg = Config(
-        num_points=1024, emb_dims=512,
-        compute_dtype="bfloat16", approx_knn=True,
-    )
+    # fast TPU profile: bf16 MXU matmuls (f32 accumulation), fused Pallas
+    # kNN (exact), flash attention — validated to <1 deg rotation deviation
+    # from the full-f32 path (tests/test_fastpath.py)
+    cfg = Config(num_points=1024, emb_dims=512, compute_dtype="bfloat16")
     model = VCRNet(cfg=cfg)
     rng = np.random.RandomState(0)
     src = rng.rand(batch, cfg.num_points, 3).astype(np.float32) - 0.5

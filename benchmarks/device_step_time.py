@@ -25,7 +25,9 @@ def main():
     cfg = Config(
         num_points=N, emb_dims=512,
         compute_dtype="bfloat16" if mode == "fast" else "float32",
-        approx_knn=(mode == "fast"),
+        # approx_knn left False: the 'auto' kNN picks the exact fused
+        # Pallas kernel on TPU, which beats approx_max_k
+        approx_knn=(mode == "approx"),
     )
     print(f"mode={mode}", flush=True)
     model = VCRNet(cfg=cfg)

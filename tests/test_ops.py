@@ -131,3 +131,52 @@ class TestPallasKnn:
         a = np.asarray(ops.knn(x, 5))          # auto -> exact on CPU
         b = np.asarray(ops.knn(x, 5, method="exact"))
         np.testing.assert_array_equal(a, b)
+
+
+class TestPallasEdgeConv:
+    def _setup(self):
+        rng = np.random.RandomState(11)
+        B, N, C, F, k = 2, 128, 16, 64, 8
+        x = jnp.asarray(rng.rand(B, N, C).astype(np.float32))
+        a = jnp.asarray(rng.randn(B, N, F).astype(np.float32))
+        h = jnp.asarray(rng.randn(B, N, F).astype(np.float32))
+        w2 = jnp.asarray(rng.randn(F, F).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(rng.randn(F).astype(np.float32) * 0.1)
+        return x, a, h, w2, b2, k
+
+    def test_fused_edge_conv_matches_xla_path(self):
+        from vcrnet_tpu.ops.pallas_edgeconv import fused_edge_conv
+
+        x, a, h, w2, b2, k = self._setup()
+        idx = ops.knn(x, k, method="exact")
+        a_nb = ops.gather_neighbors(a, idx)
+        z = jnp.maximum(a_nb + h[:, :, None, :], 0)
+        x1_ref = z.max(2)
+        zz = z @ w2 + b2
+        x2_ref = jnp.maximum(zz, 0).max(2)
+        x1, x2 = fused_edge_conv(x, a, h, w2, b2, k=k, interpret=True)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x1_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x2_ref), atol=1e-5)
+
+    def test_fused_gather_max_matches_xla_path(self):
+        from vcrnet_tpu.ops.pallas_edgeconv import fused_knn_gather_max
+
+        x, a, h, w2, b2, k = self._setup()
+        idx = ops.knn(x, k, method="exact")
+        ref = ops.gather_max_neighbors(a, idx)
+        out = fused_knn_gather_max(x, a, k=k, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_fused_knn_zero_grad(self):
+        import jax
+        from vcrnet_tpu.ops.pallas_knn import fused_knn
+
+        x = jnp.asarray(np.random.RandomState(12).rand(1, 64, 8).astype(np.float32))
+
+        def loss(x):
+            idx = fused_knn(x, 4, 128, True)
+            g = jnp.take_along_axis(x, idx.reshape(1, -1)[:, :, None], axis=1)
+            return jnp.sum(g * x.mean())
+
+        g = np.asarray(jax.grad(loss)(x))
+        assert np.isfinite(g).all()

@@ -73,6 +73,24 @@ class SplitEdgeDense(nn.Module):
         return a, h
 
 
+class DenseParams(nn.Module):
+    """Declares {kernel, bias} with nn.Dense-compatible naming, for layers
+    whose weights are consumed by fused Pallas kernels."""
+
+    features: int
+    in_features: int
+    negative_slope: float = 0.0
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _kaiming_uniform(self.negative_slope),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class LPDNet(nn.Module):
     """LPD-Net feature embedding: dynamic graph in feature space + spatial
     neighborhood fusion on the original xyz (reference lpdnet_model.py:103-137).
@@ -127,27 +145,55 @@ class LPDNet(nn.Module):
             trans = TransformNet(k=64, name="t_net_fea")(x, train=train)
             x = jnp.einsum("bnc,bcd->bnd", x, trans, precision=self.precision)
 
+        # fully-fused Pallas eval path: kNN + neighbor combine in VMEM
+        # (forward-only kernels; training uses the differentiable XLA
+        # formulation below — identical math)
+        use_fused = (
+            not train
+            and self.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+        )
+
         # dynamic graph in feature space (reference convDG1/convDG2)
-        idx_f = knn(x, k=self.k, precision=self.precision, approx=self.approx_knn)
         a, h = SplitEdgeDense(
             128, self.negative_slope, dtype=self.dtype, name="convDG1"
         )(x)
-        a_nb = gather_neighbors(a, idx_f, method=gather_method)  # [B,N,k,128]
-        z = act(a_nb + h[:, :, None, :])
-        x1 = z.max(axis=2)  # [B,N,128]
-        z = act(dense(128, "convDG2")(z))  # plain conv on the edge tensor
-        x2 = z.max(axis=2)  # [B,N,128]
+        k2, b2 = DenseParams(128, 128, self.negative_slope, name="convDG2")()
+        if self.dtype is not None:
+            k2 = k2.astype(self.dtype)
+            b2 = b2.astype(self.dtype)
+        if use_fused:
+            from vcrnet_tpu.ops.pallas_edgeconv import fused_edge_conv
+
+            x1, x2 = fused_edge_conv(
+                x, a, h, k2, b2, k=self.k,
+                negative_slope=self.negative_slope,
+            )
+        else:
+            idx_f = knn(
+                x, k=self.k, precision=self.precision, approx=self.approx_knn
+            )
+            a_nb = gather_neighbors(a, idx_f, method=gather_method)
+            z = act(a_nb + h[:, :, None, :])  # [B,N,k,128]
+            x1 = z.max(axis=2)  # [B,N,128]
+            z = act(z @ k2 + b2)  # plain conv on the edge tensor
+            x2 = z.max(axis=2)  # [B,N,128]
 
         # spatial neighborhood fusion on ORIGINAL xyz (reference convSN1):
         # fully fused to gather-max by monotonicity of leaky_relu
-        idx_s = knn(
-            x_init_3d, k=self.k, precision=self.precision,
-            approx=self.approx_knn,
-        )
         a2, h2 = SplitEdgeDense(
             256, self.negative_slope, dtype=self.dtype, name="convSN1"
         )(x2)
-        x3 = act(gather_max_neighbors(a2, idx_s, method=gather_method) + h2)
+        if use_fused:
+            from vcrnet_tpu.ops.pallas_edgeconv import fused_knn_gather_max
+
+            x3 = act(fused_knn_gather_max(x_init_3d, a2, k=self.k) + h2)
+        else:
+            idx_s = knn(
+                x_init_3d, k=self.k, precision=self.precision,
+                approx=self.approx_knn,
+            )
+            x3 = act(gather_max_neighbors(a2, idx_s, method=gather_method) + h2)
 
         x = jnp.concatenate([x1, x2, x3], axis=-1)  # [B,N,512]
         return act(dense(self.emb_dims, "conv3_lpd")(x))

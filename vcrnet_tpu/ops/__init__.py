@@ -4,6 +4,7 @@ from vcrnet_tpu.ops.graph import (
     knn,
     kfn,
     gather_neighbors,
+    gather_max_neighbors,
     graph_feature,
 )
 from vcrnet_tpu.ops.fps import farthest_point_sample
@@ -14,6 +15,7 @@ __all__ = [
     "knn",
     "kfn",
     "gather_neighbors",
+    "gather_max_neighbors",
     "graph_feature",
     "farthest_point_sample",
 ]

@@ -50,13 +50,35 @@ def _knn_kernel(x_q_ref, x_k_ref, norms_ref, out_ref, *, k: int, tile_q: int):
         scores = jnp.where(col_ids == a[:, None], neg_inf, scores)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def fused_knn(
     x: jax.Array, k: int = 20, tile_q: int = 128, interpret: bool = False
 ) -> jax.Array:
     """x: [B, N, C] -> [B, N, k] int32 nearest-neighbor indices (no self).
 
     Requires N % tile_q == 0 (all supported configs: N in {768, 1024, ...}).
+    Differentiation: neighbor indices carry no gradient (identical to the
+    reference's torch.topk indices), so the VJP is zero — declared via
+    custom_vjp because raw pallas_call has no autodiff rule.
     """
+    return _fused_knn_impl(x, k, tile_q, interpret)
+
+
+def _fused_knn_fwd(x, k, tile_q, interpret):
+    # residual: a zero array carrying x's shape/dtype (free after XLA DCE)
+    return _fused_knn_impl(x, k, tile_q, interpret), jnp.zeros_like(x)
+
+
+def _fused_knn_bwd(k, tile_q, interpret, res, _ct):
+    return (res,)
+
+
+fused_knn.defvjp(_fused_knn_fwd, _fused_knn_bwd)
+
+
+def _fused_knn_impl(
+    x: jax.Array, k: int, tile_q: int, interpret: bool
+) -> jax.Array:
     B, N, C = x.shape
     if N % tile_q != 0:
         # fall back to the largest divisor tile
