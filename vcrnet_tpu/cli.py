@@ -20,6 +20,7 @@ import socket
 from datetime import datetime
 
 from vcrnet_tpu.config import Config
+from vcrnet_tpu.utils import IOStream
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -90,21 +91,6 @@ def make_run_dir(cfg: Config) -> str:
     return run_dir
 
 
-class IOStream:
-    """stdout + run.log tee (reference util/initPara.py:77-90)."""
-
-    def __init__(self, path: str):
-        self.f = open(path, "a")
-
-    def cprint(self, text: str):
-        print(text)
-        self.f.write(text + "\n")
-        self.f.flush()
-
-    def close(self):
-        self.f.close()
-
-
 def main(argv=None):
     import jax
     import numpy as np
@@ -157,6 +143,9 @@ def main(argv=None):
             )
             textio.cprint(f"warm-started embedding from {args.pretrained_t7}")
 
+    from vcrnet_tpu.utils import MetricsWriter
+
+    boardio = MetricsWriter(run_dir)
     if cfg.eval:
         summary = trainer.eval_epoch(state, test_loader)
         textio.cprint("==FINAL TEST==")
@@ -167,11 +156,13 @@ def main(argv=None):
         state, history = trainer.fit(
             state, train_loader, test_loader,
             log=textio.cprint, checkpoint_dir=ckpt_dir,
+            metrics_writer=boardio,
         )
         with open(os.path.join(run_dir, "history.json"), "w") as f:
             json.dump(history, f, default=float)
 
     textio.cprint("FINISH")
+    boardio.close()
     textio.close()
 
 

@@ -368,6 +368,7 @@ class Trainer:
         epochs: Optional[int] = None,
         log=print,
         checkpoint_dir: Optional[str] = None,
+        metrics_writer=None,
     ):
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
@@ -396,6 +397,17 @@ class Trainer:
             history.append(
                 {"epoch": epoch, "lr": lr, "train": train_sum, "test": test_sum}
             )
+            if metrics_writer is not None:
+                # reference scalar layout (vcrnet_model.py:997-1010)
+                metrics_writer.scalar(
+                    "A->B/train/loss", train_sum.get("loss", 0.0), epoch
+                )
+                metrics_writer.scalar(
+                    "A->B/test/loss", test_sum.get("loss", 0.0), epoch
+                )
+                metrics_writer.scalar("A->B/best_test/lr", lr, epoch)
+                metrics_writer.scalar("A->B/best_test/loss", best_loss, epoch)
+                metrics_writer.scalars("A->B/test", test_sum, epoch)
             log(
                 f"epoch {epoch}: lr={lr:.2e} "
                 f"train_loss={train_sum.get('loss', float('nan')):.6f} "
