@@ -52,28 +52,39 @@ def _edge_conv_kernel(
     b2 = b2_ref[0]  # [F]
 
     f = a_full.shape[-1]
-    x1 = jnp.full((tile_q, f), -jnp.inf, jnp.float32)
-    x2 = jnp.full((tile_q, f), -jnp.inf, jnp.float32)
     neg_inf = jnp.float32(-jnp.inf)
+    h32 = h.astype(jnp.float32)
+    b32 = b2.astype(jnp.float32)
 
     def leaky(v):
         return jnp.where(v >= 0, v, v * slope)
 
-    for _ in range(k):
+    # fori_loop, not a python unroll: keeps the Mosaic program (and its
+    # compile time) independent of k
+    def body(_, carry):
+        scores, x1, x2 = carry
         amax = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
         sel = col_ids == amax[:, None]
         scores = jnp.where(sel, neg_inf, scores)
         onehot = sel.astype(a_full.dtype)
         g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
-        z = leaky(g + h.astype(jnp.float32))
+        z = leaky(g + h32)
         x1 = jnp.maximum(x1, z)
         y = leaky(
             jnp.dot(
                 z.astype(w2.dtype), w2, preferred_element_type=jnp.float32
             )
-            + b2.astype(jnp.float32)
+            + b32
         )
         x2 = jnp.maximum(x2, y)
+        return scores, x1, x2
+
+    init = (
+        scores,
+        jnp.full((tile_q, f), neg_inf, jnp.float32),
+        jnp.full((tile_q, f), neg_inf, jnp.float32),
+    )
+    _, x1, x2 = jax.lax.fori_loop(0, k, body, init)
 
     x1_ref[0] = x1.astype(x1_ref.dtype)
     x2_ref[0] = x2.astype(x2_ref.dtype)
@@ -85,16 +96,20 @@ def _gather_max_kernel(
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
     values = v_ref[0]  # [N, F]
     f = values.shape[-1]
-    gmax = jnp.full((tile_q, f), -jnp.inf, jnp.float32)
     neg_inf = jnp.float32(-jnp.inf)
 
-    for _ in range(k):
+    def body(_, carry):
+        scores, gmax = carry
         amax = jnp.argmax(scores, axis=1).astype(jnp.int32)
         sel = col_ids == amax[:, None]
         scores = jnp.where(sel, neg_inf, scores)
         onehot = sel.astype(values.dtype)
         g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
         gmax = jnp.maximum(gmax, g)
+        return scores, gmax
+
+    init = (scores, jnp.full((tile_q, f), neg_inf, jnp.float32))
+    _, gmax = jax.lax.fori_loop(0, k, body, init)
 
     out_ref[0] = gmax.astype(out_ref.dtype)
 

@@ -43,11 +43,20 @@ def _knn_kernel(x_q_ref, x_k_ref, norms_ref, out_ref, *, k: int, tile_q: int):
     neg_inf = jnp.float32(-jnp.inf)
     scores = jnp.where(col_ids == row_ids, neg_inf, scores)
 
-    # k-step iterative argmax extraction (k is small and static)
-    for j in range(k):
+    # k-step iterative argmax extraction; fori_loop (not a python unroll)
+    # keeps the Mosaic program size (and compile time) independent of k
+    def body(j, carry):
+        scores, out = carry
         a = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
-        out_ref[0, :, j] = a
-        scores = jnp.where(col_ids == a[:, None], neg_inf, scores)
+        sel = col_ids == a[:, None]
+        scores = jnp.where(sel, neg_inf, scores)
+        k_ids = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        out = jnp.where(k_ids == j, a[:, None], out)
+        return scores, out
+
+    out0 = jnp.zeros((scores.shape[0], k), jnp.int32)
+    _, out = jax.lax.fori_loop(0, k, body, (scores, out0))
+    out_ref[0] = out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
