@@ -9,6 +9,12 @@ import sys
 import time
 
 import numpy as np
+
+# persistent XLA/Mosaic compilation cache: the fused Pallas kernels take
+# minutes to compile cold; warm runs load from cache
+import jax as _jax
+_jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax
 import jax.numpy as jnp
 

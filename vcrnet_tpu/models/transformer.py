@@ -74,6 +74,8 @@ class MultiHeadAttention(nn.Module):
     precision: Any = None
     dtype: Any = None
     flash: bool = False
+    capture_attention: bool = False  # sow p_attn (reference GlobalVar,
+    # util/util.py:31-73) — retrieve with apply(..., mutable=['intermediates'])
 
     @nn.compact
     def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array):
@@ -115,6 +117,10 @@ class MultiHeadAttention(nn.Module):
             if self.remask:
                 keep_k = int(Nk * self.overlap2)
                 p_attn = _remask_topk_keys(scores, p_attn, keep_k)
+            if self.capture_attention:
+                # reference MultiHeadedAttention stores sum-over-heads
+                # attention for figures (transformer.py:219)
+                self.sow("intermediates", "attn", p_attn.sum(axis=1))
 
             x = jnp.einsum(
                 "bhnm,bhmd->bhnd", p_attn.astype(v.dtype), v,
