@@ -129,7 +129,12 @@ def _svd_rotation(H: jax.Array) -> jax.Array:
     model/vcrnet_model.py:379-391, but batched and differentiable).
     """
     # Keep the SVD in float32: 3x3 problems are tiny and precision-critical.
-    U, _, Vt = jnp.linalg.svd(H.astype(jnp.float32))
+    # The tiny diagonal tie-breaker rescues exactly-degenerate H (e.g. all
+    # correspondences identical) from NaN gradients; at typical magnitudes
+    # it is far below float32 resolution, so results are unchanged. The
+    # reference instead printed NaN warnings (vcrnet_model.py:366-374).
+    H = H.astype(jnp.float32) + 1e-12 * jnp.eye(3, dtype=jnp.float32)
+    U, _, Vt = jnp.linalg.svd(H)
     V = jnp.swapaxes(Vt, -1, -2)
     R = jnp.einsum("bij,bkj->bik", V, U)  # V @ U^T
     det = jnp.linalg.det(R)

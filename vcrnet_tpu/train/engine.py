@@ -25,7 +25,6 @@ Cycle-consistency (x0.1) is metric-only for VCRNet (reference backward() at
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import numpy as np
@@ -49,7 +48,6 @@ from vcrnet_tpu.train.optim import (
     make_optimizer,
     initial_lr,
     set_lr,
-    get_lr,
     ReduceLROnPlateau,
     MultiStepLR,
     EARLY_STOP_LR,
