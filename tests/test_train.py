@@ -282,3 +282,16 @@ class TestMultiDevice:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-5
             )
+
+
+class TestWorstCases:
+    def test_worst_case_mining(self):
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        _, test = make_loaders(cfg, n_test=6)
+        state = trainer.init_state(jax.random.PRNGKey(0), next(iter(test)))
+        out = trainer.worst_cases(state, test, k=3)
+        assert len(out["worst_rot_idx"]) == 3
+        assert len(out["rot_se"]) >= 6
+        # padded entries can never win
+        assert all(out["rot_se"][i] > -np.inf for i in out["worst_rot_idx"])

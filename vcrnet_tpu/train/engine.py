@@ -325,6 +325,57 @@ class Trainer:
         _, sums = self._dcp_loss_and_sums(out, batch, valid)
         return sums
 
+    def _per_sample_errors_impl(self, state: TrainState, batch: dict):
+        """Per-sample rot/trans squared errors (for worst-case mining,
+        reference showBad / the argsort scaffolds in testVCRNet:808-813
+        and testDCP:491-499)."""
+        cfg = self.cfg
+        src, tgt = batch["src"], batch["tgt"]
+        if cfg.model == "icp":
+            _, _, R_ab, t_ab, _, _ = icp_register(
+                src, tgt, max_iterations=cfg.max_iterations
+            )
+        else:
+            variables = state.variables()
+            if cfg.model == "vcrnet" and cfg.iter > 0:
+                out = vcrnet_iter(
+                    lambda v, s, t: self.model.apply(v, s, t),
+                    variables, src, tgt, cfg.iter,
+                )
+                R_ab, t_ab = out[2], out[3]
+            else:
+                out = self.model.apply(variables, src, tgt)
+                R_ab, t_ab = (out[2], out[3]) if cfg.model == "vcrnet" else (
+                    out[0], out[1]
+                )
+        e_pred = geometry.mat_to_euler_zyx(R_ab, degrees=True)
+        e_gt = jnp.degrees(batch["euler_ab"])
+        rot_se = jnp.sum((e_pred - e_gt) ** 2, axis=-1)
+        trans_se = jnp.sum((batch["t_ab"] - t_ab) ** 2, axis=-1)
+        return rot_se, trans_se, batch["valid"]
+
+    def worst_cases(self, state: TrainState, loader, k: int = 5):
+        """Indices (dataset order) of the k worst rotation and translation
+        errors over the loader."""
+        fn = jax.jit(
+            self._per_sample_errors_impl, in_shardings=(self._rep, self._shd)
+        )
+        rot, trans = [], []
+        for batch in loader:
+            r, t, valid = fn(state, self._to_device(batch))
+            r = np.where(np.asarray(valid) > 0, np.asarray(r), -np.inf)
+            t = np.where(np.asarray(valid) > 0, np.asarray(t), -np.inf)
+            rot.append(r)
+            trans.append(t)
+        rot = np.concatenate(rot)
+        trans = np.concatenate(trans)
+        return {
+            "worst_rot_idx": np.argsort(rot)[-k:][::-1].tolist(),
+            "worst_trans_idx": np.argsort(trans)[-k:][::-1].tolist(),
+            "rot_se": rot,
+            "trans_se": trans,
+        }
+
     # ------------------------------------------------------------------
     # epoch drivers
     # ------------------------------------------------------------------
