@@ -170,9 +170,11 @@ class Trainer:
 
         sums = {"loss": jnp.sum(loss_ps * valid), "loss_pose": jnp.sum(pose_ps * valid)}
         if cfg.cycle:
-            sums["cycle_loss"] = _cycle_loss(R_ab_p, t_ab_p, R_ba_p, t_ba_p) * (
-                0.1 * jnp.sum(valid)
-            )
+            cyc = _cycle_loss(R_ab_p, t_ab_p, R_ba_p, t_ba_p)
+            sums["cycle_loss"] = 0.1 * cyc * jnp.sum(valid)
+            # reference folds the cycle term into loss_pose (the
+            # best-checkpoint / plateau metric), vcrnet_model.py:727-734
+            sums["loss_pose"] = sums["loss_pose"] + 0.1 * cyc * jnp.sum(valid)
         # point metrics ab: transformed srcK vs corr; ba: back-transformed tgt vs src
         back = geometry.transform_points(tgt, R_ba_p, t_ba_p)
         ps_ab = M.point_sums(moved_k, src_corr_k, valid)
