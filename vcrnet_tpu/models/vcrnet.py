@@ -122,8 +122,19 @@ class VCRNet(nn.Module):
         raise ValueError(f"unknown vcp_nn: {self.cfg.vcp_nn}")
 
     def __call__(self, src: jax.Array, tgt: jax.Array, train: bool = False):
-        src_emb = self.emb_nn(src, train=train)
-        tgt_emb = self.emb_nn(tgt, train=train)
+        # embed both clouds in ONE call (stacked on the batch axis): halves
+        # kernel-launch count and doubles per-kernel parallelism vs the
+        # reference's two sequential embedding passes (vcrnet_model.py:499-500).
+        # Not done when a BatchNorm embedding trains — stacking would pool
+        # the two clouds' batch statistics (LPDNet has no BN; eval-mode BN
+        # uses running averages, so stacking is exact there).
+        if self.cfg.emb_nn == "lpdnet" or not train:
+            both = jnp.concatenate([src, tgt], axis=0)
+            emb = self.emb_nn(both, train=train)
+            src_emb, tgt_emb = jnp.split(emb, 2, axis=0)
+        else:
+            src_emb = self.emb_nn(src, train=train)
+            tgt_emb = self.emb_nn(tgt, train=train)
 
         if self.pointer is not None:
             src_delta, tgt_delta = self.pointer(src_emb, tgt_emb)
