@@ -107,8 +107,8 @@ def main(argv=None):
     from vcrnet_tpu.train import Trainer
     from vcrnet_tpu.train.checkpoint import (
         load_checkpoint,
-        load_t7_lpdnet,
-        merge_pretrained_embedding,
+        load_t7_vcrnet,
+        merge_params,
     )
 
     train_loader, test_loader = make_loaders(cfg)
@@ -137,11 +137,14 @@ def main(argv=None):
             state = load_checkpoint(args.model_path, state)
             textio.cprint(f"loaded checkpoint {args.model_path}")
         if args.pretrained_t7:
-            emb = load_t7_lpdnet(args.pretrained_t7)
+            converted = load_t7_vcrnet(args.pretrained_t7, n_blocks=cfg.n_blocks)
             state = state.replace(
-                params=merge_pretrained_embedding(state.params, emb)
+                params=merge_params(state.params, converted)
             )
-            textio.cprint(f"warm-started embedding from {args.pretrained_t7}")
+            textio.cprint(
+                f"loaded .t7 (components: {sorted(converted)}) "
+                f"from {args.pretrained_t7}"
+            )
 
     from vcrnet_tpu.utils import MetricsWriter
 

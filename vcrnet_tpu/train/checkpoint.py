@@ -95,6 +95,124 @@ def convert_lpdnet_state_dict(sd: dict, prefix: str = "emb_nn.") -> dict:
     return out
 
 
+def _linear_to_dense(sd: dict, torch_key: str) -> dict:
+    out = {"kernel": np.ascontiguousarray(np.asarray(sd[f"{torch_key}.weight"]).T)}
+    bk = f"{torch_key}.bias"
+    if bk in sd:
+        out["bias"] = np.asarray(sd[bk])
+    return out
+
+
+def _norm_params(sd: dict, torch_key: str) -> dict:
+    return {
+        "a_2": np.asarray(sd[f"{torch_key}.a_2"]),
+        "b_2": np.asarray(sd[f"{torch_key}.b_2"]),
+    }
+
+
+def convert_transformer_state_dict(
+    sd: dict, n_blocks: int = 1, prefix: str = "pointer.model."
+) -> dict:
+    """Reference Transformer state dict -> TransformerPointer param tree.
+
+    Reference layout (model/transformer.py): the EncoderDecoder lives at
+    ``pointer.model``; each layer's MHA holds 4 linears (q, k, v, out) in a
+    ModuleList, residual norms live in SublayerConnection wrappers, and both
+    encoder and decoder carry a final norm.
+    """
+    out: dict = {}
+    qkvo = ["linear_q", "linear_k", "linear_v", "linear_out"]
+
+    for i in range(n_blocks):
+        enc = f"{prefix}encoder.layers.{i}."
+        layer = {}
+        layer["self_attn"] = {
+            name: _linear_to_dense(sd, f"{enc}self_attn.linears.{j}")
+            for j, name in enumerate(qkvo)
+        }
+        layer["norm0"] = _norm_params(sd, f"{enc}sublayer.0.norm")
+        layer["norm1"] = _norm_params(sd, f"{enc}sublayer.1.norm")
+        layer["ff"] = {
+            "w_1": _linear_to_dense(sd, f"{enc}feed_forward.w_1"),
+            "w_2": _linear_to_dense(sd, f"{enc}feed_forward.w_2"),
+        }
+        out[f"enc_layers_{i}"] = layer
+
+        dec = f"{prefix}decoder.layers.{i}."
+        layer = {}
+        layer["self_attn"] = {
+            name: _linear_to_dense(sd, f"{dec}self_attn.linears.{j}")
+            for j, name in enumerate(qkvo)
+        }
+        layer["src_attn"] = {
+            name: _linear_to_dense(sd, f"{dec}src_attn.linears.{j}")
+            for j, name in enumerate(qkvo)
+        }
+        layer["norm0"] = _norm_params(sd, f"{dec}sublayer.0.norm")
+        layer["norm1"] = _norm_params(sd, f"{dec}sublayer.1.norm")
+        layer["norm2"] = _norm_params(sd, f"{dec}sublayer.2.norm")
+        layer["ff"] = {
+            "w_1": _linear_to_dense(sd, f"{dec}feed_forward.w_1"),
+            "w_2": _linear_to_dense(sd, f"{dec}feed_forward.w_2"),
+        }
+        out[f"dec_layers_{i}"] = layer
+
+    out["enc_norm"] = _norm_params(sd, f"{prefix}encoder.norm")
+    out["dec_norm"] = _norm_params(sd, f"{prefix}decoder.norm")
+    return out
+
+
+def convert_vcrnet_state_dict(sd: dict, n_blocks: int = 1) -> dict:
+    """Full reference VCRNet state dict -> our param tree (best effort,
+    non-strict like the reference's load). Covers the LPDNet embedding, the
+    transformer pointer, and the VcpAtt projections; BN-carrying embeddings
+    (pointnet/dgcnn) keep their random init if absent."""
+    params: dict = {}
+    emb = convert_lpdnet_state_dict(sd, prefix="emb_nn.")
+    if emb:
+        params["emb_nn"] = emb
+    if any(k.startswith("pointer.model.") for k in sd):
+        params["pointer"] = convert_transformer_state_dict(sd, n_blocks)
+    if "head.linears_emb.0.weight" in sd:
+        params["vcp_att"] = {
+            "linear_emb_q": _linear_to_dense(sd, "head.linears_emb.0"),
+            "linear_emb_k": _linear_to_dense(sd, "head.linears_emb.1"),
+        }
+    return params
+
+
+def load_t7_vcrnet(path: str, n_blocks: int = 1) -> dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return convert_vcrnet_state_dict(sd, n_blocks=n_blocks)
+
+
+def export_lpdnet_t7(params_emb: dict, path: str) -> str:
+    """Reverse conversion: our LPDNet param tree -> a reference-layout torch
+    state dict saved with torch.save (round-trips with load_t7_lpdnet)."""
+    import torch
+
+    sd = {}
+    for torch_key, flax_name in _LPDNET_KEYS.items():
+        if flax_name not in params_emb:
+            continue
+        kernel = np.asarray(params_emb[flax_name]["kernel"])  # [in, out]
+        w = kernel.T  # [out, in]
+        if torch_key.endswith(".0"):  # reference Conv2d layers
+            w = w[:, :, None, None]
+        else:  # Conv1d layers
+            w = w[:, :, None]
+        sd[f"emb_nn.{torch_key}.weight"] = torch.tensor(np.ascontiguousarray(w))
+        if "bias" in params_emb[flax_name]:
+            sd[f"emb_nn.{torch_key}.bias"] = torch.tensor(
+                np.asarray(params_emb[flax_name]["bias"])
+            )
+    torch.save(sd, path)
+    return path
+
+
 def load_t7_lpdnet(path: str, prefix: str = "emb_nn.") -> dict:
     """Load a .t7 LPDNet checkpoint (requires torch, CPU) -> flax params."""
     import torch
@@ -102,6 +220,27 @@ def load_t7_lpdnet(path: str, prefix: str = "emb_nn.") -> dict:
     sd = torch.load(path, map_location="cpu")
     sd = {k: v.numpy() for k, v in sd.items()}
     return convert_lpdnet_state_dict(sd, prefix=prefix)
+
+
+def merge_params(params: dict, converted: dict) -> dict:
+    """Deep non-strict merge of a converted param tree into a model param
+    tree: only leaves that exist in both (with matching shapes) are taken
+    from ``converted`` (reference strict=False load, initPara.py:254)."""
+
+    def rec(dst, src):
+        if not isinstance(dst, dict) or not isinstance(src, dict):
+            dst_arr = np.asarray(dst)
+            src_arr = np.asarray(src)
+            if dst_arr.shape == src_arr.shape:
+                return src_arr.astype(dst_arr.dtype)
+            return dst
+        out = dict(dst)
+        for key, sub in src.items():
+            if key in out:
+                out[key] = rec(out[key], sub)
+        return out
+
+    return rec(params, converted)
 
 
 def merge_pretrained_embedding(params: dict, emb_params: dict) -> dict:
