@@ -180,3 +180,21 @@ class TestPallasEdgeConv:
 
         g = np.asarray(jax.grad(loss)(x))
         assert np.isfinite(g).all()
+
+
+class TestStreamingVcp:
+    def test_matches_xla_whole_correspondence(self):
+        from vcrnet_tpu.ops.pallas_vcp import streaming_soft_correspondence
+        from vcrnet_tpu.models.heads import vcp_top_k_whole
+
+        rng = np.random.RandomState(13)
+        B, Ns, Nt, E = 2, 128, 256, 32
+        se = jnp.asarray(rng.randn(B, Ns, E).astype(np.float32))
+        te = jnp.asarray(rng.randn(B, Nt, E).astype(np.float32))
+        src = jnp.asarray(rng.randn(B, Ns, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(B, Nt, 3).astype(np.float32))
+        _, ref = vcp_top_k_whole(se, te, src, tgt)
+        out = streaming_soft_correspondence(
+            se, te, tgt, tile_q=64, tile_k=64, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -295,3 +295,29 @@ class TestWorstCases:
         assert len(out["rot_se"]) >= 6
         # padded entries can never win
         assert all(out["rot_se"][i] > -np.inf for i in out["worst_rot_idx"])
+
+
+class TestPartialMode:
+    def test_partial_train_and_eval(self):
+        cfg = Config(
+            num_points=128, emb_dims=64, ff_dims=128, batch_size=4,
+            test_batch_size=4, partial=True, overlap=0.575, iter=2,
+        )
+        trainer = Trainer(cfg)
+        # synthetic datasets run the same partial crop pipeline
+        train = Loader(
+            SyntheticDataset(cfg, "train", n_items=8, cloud_points=256),
+            cfg.batch_size, shuffle=True, drop_last=True, seed=0,
+        )
+        test = Loader(
+            SyntheticDataset(cfg, "test", n_items=4, cloud_points=256),
+            cfg.test_batch_size, shuffle=False, drop_last=False,
+        )
+        batch = next(iter(train))
+        n = cfg.n_cropped
+        assert batch["src"].shape[1] == n
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, sums = trainer._train_step(state, trainer._to_device(batch))
+        assert np.isfinite(float(sums["loss"]))
+        summary = trainer.eval_epoch(state, test)
+        assert np.isfinite(summary["rot_ab_RMSE"])

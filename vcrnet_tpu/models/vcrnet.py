@@ -104,7 +104,7 @@ class VCRNet(nn.Module):
                 emb_dims=cfg.emb_dims, precision=_precision(cfg)
             )
 
-    def _vcp(self, src_emb, tgt_emb, src, tgt):
+    def _vcp(self, src_emb, tgt_emb, src, tgt, train: bool = False):
         cfg = self.cfg
         precision = _precision(cfg)
         if cfg.vcp_nn == "topK":
@@ -112,6 +112,18 @@ class VCRNet(nn.Module):
                 return heads.vcp_top_k_partial(
                     src_emb, tgt_emb, src, tgt, cfg.overlap2, precision=precision
                 )
+            use_streaming = (
+                not train
+                and _dtype(cfg) == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+            )
+            if use_streaming:
+                from vcrnet_tpu.ops.pallas_vcp import (
+                    streaming_soft_correspondence,
+                )
+
+                corr = streaming_soft_correspondence(src_emb, tgt_emb, tgt)
+                return src, corr
             return heads.vcp_top_k_whole(
                 src_emb, tgt_emb, src, tgt, precision=precision
             )
@@ -141,11 +153,11 @@ class VCRNet(nn.Module):
             src_emb = src_emb + src_delta
             tgt_emb = tgt_emb + tgt_delta
 
-        src_k, src_corr_k = self._vcp(src_emb, tgt_emb, src, tgt)
+        src_k, src_corr_k = self._vcp(src_emb, tgt_emb, src, tgt, train=train)
         R_ab, t_ab = geometry.procrustes(src_k, src_corr_k)
 
         if self.cfg.cycle:
-            tgt_k, tgt_corr_k = self._vcp(tgt_emb, src_emb, tgt, src)
+            tgt_k, tgt_corr_k = self._vcp(tgt_emb, src_emb, tgt, src, train=train)
             R_ba, t_ba = geometry.procrustes(tgt_k, tgt_corr_k)
         else:
             R_ba, t_ba = geometry.invert_transform(R_ab, t_ab)
