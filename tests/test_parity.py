@@ -293,3 +293,59 @@ class TestVcpGolden:
         np.testing.assert_allclose(
             np.asarray(corr).transpose(0, 2, 1), corr_gold, atol=1e-5
         )
+
+
+class TestDGCNNGolden:
+    """DGCNN forward (eval-mode BN) vs a torch mirror of reference
+    vcrnet_model.py:90-123 with shared random weights."""
+
+    def test_forward_parity(self):
+        import torch.nn as tnn
+
+        from vcrnet_tpu.models.embeddings import DGCNN
+
+        rng = np.random.RandomState(20)
+        B, N, E, k = 2, 64, 32, 20
+        pts = rng.rand(B, N, 3).astype(np.float32) - 0.5
+
+        model = DGCNN(emb_dims=E, k=k)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pts))
+        params = variables["params"]
+        bstats = variables["batch_stats"]
+
+        dims = [(6, 64), (64, 64), (64, 128), (128, 256), (512, E)]
+        weights = {}
+        new_params = dict(params)
+        for i, (din, dout) in enumerate(dims, start=1):
+            w = (rng.randn(dout, din) * 0.1).astype(np.float32)
+            weights[f"conv{i}"] = w
+            new_params[f"conv{i}"] = {"kernel": jnp.asarray(w.T)}
+        ours = np.asarray(
+            model.apply(
+                {"params": new_params, "batch_stats": bstats},
+                jnp.asarray(pts),
+            )
+        )
+
+        # torch mirror (BN in eval mode with fresh running stats == ours)
+        torch.set_grad_enabled(False)
+        x_t = torch.tensor(pts.transpose(0, 2, 1))  # [B,3,N]
+        g = torch_graph_feature(x_t, k=k)  # [B,6,N,k]
+        feats = []
+        x = g
+        for i, (din, dout) in enumerate(dims[:4], start=1):
+            w = torch.tensor(weights[f"conv{i}"]).view(dout, din, 1, 1)
+            bn = tnn.BatchNorm2d(dout)
+            bn.eval()
+            x = torch.relu(bn(F.conv2d(x, w)))
+            feats.append(x.max(dim=-1, keepdim=True)[0])
+        x = torch.cat(feats, dim=1)  # [B,512,N,1]
+        w = torch.tensor(weights["conv5"]).view(E, 512, 1, 1)
+        bn = tnn.BatchNorm2d(E)
+        bn.eval()
+        golden = torch.relu(bn(F.conv2d(x, w))).squeeze(-1).numpy()
+        torch.set_grad_enabled(True)
+
+        np.testing.assert_allclose(
+            ours.transpose(0, 2, 1), golden, atol=2e-4, rtol=1e-3
+        )
