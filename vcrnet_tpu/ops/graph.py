@@ -120,8 +120,8 @@ def gather_neighbors(
     sums exactly one input row). Use 'gather' for float32 exactness.
     """
     B, N, C = feats.shape
-    k = idx.shape[-1]
-    flat = idx.reshape(B, N * k)
+    _, n_q, k = idx.shape  # query rows may differ from N (sharded callers)
+    flat = idx.reshape(B, n_q * k)
     if method == "onehot":
         onehot = jax.nn.one_hot(flat, N, dtype=feats.dtype)
         out = jnp.einsum(
@@ -130,7 +130,7 @@ def gather_neighbors(
         )
     else:
         out = jnp.take_along_axis(feats, flat[:, :, None], axis=1)
-    return out.reshape(B, N, k, C)
+    return out.reshape(B, n_q, k, C)
 
 
 def gather_max_neighbors(
