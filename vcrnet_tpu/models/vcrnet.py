@@ -7,7 +7,7 @@ solve from geometry.py — no per-item python SVD loop.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+
 
 import jax
 import jax.numpy as jnp

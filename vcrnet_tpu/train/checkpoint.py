@@ -6,7 +6,7 @@ the optimizer and LR schedule from scratch; here the full TrainState
 (params + batch_stats + optimizer state + step) round-trips through
 flax msgpack serialization.
 
-``load_t7_params`` converts the shipped PyTorch checkpoint
+``load_t7_lpdnet`` converts the shipped PyTorch checkpoint
 (pretrained/lpd-pretrained.t7, 12 tensors, all LPDNet kernel-size-1 convs —
 see SURVEY.md C28) into this framework's param tree: conv1d/2d k=1 weights
 [out, in, 1(,1)] become Dense kernels [in, out].
@@ -15,8 +15,7 @@ see SURVEY.md C28) into this framework's param tree: conv1d/2d k=1 weights
 from __future__ import annotations
 
 import os
-import pickle
-from typing import Any
+
 
 import numpy as np
 
