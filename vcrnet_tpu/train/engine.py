@@ -241,13 +241,12 @@ class Trainer:
         loss = _weighted_mean(loss_ps, valid)
         mse_ps = jnp.mean((src_emb - tgt_emb) ** 2, axis=(1, 2))
         mae_ps = jnp.mean(jnp.abs(src_emb - tgt_emb), axis=(1, 2))
-        B = src.shape[0]
         sums = {
-            # reference scales by batch_size twice (lpdnet_model.py:158-159,
-            # 250-252): mse_ab_ = mean * B, accumulated as-is
+            # reference: mse_ab_ = batch_mean * B (lpdnet_model.py:158),
+            # accumulated plainly (250-252) == sum of per-sample means
             "loss": jnp.sum(loss_ps * valid),
-            "mse": jnp.sum(mse_ps * valid) * B,
-            "mae": jnp.sum(mae_ps * valid) * B,
+            "mse": jnp.sum(mse_ps * valid),
+            "mae": jnp.sum(mae_ps * valid),
             "count": jnp.sum(valid),
         }
         return loss, sums, mut
