@@ -30,16 +30,20 @@ def main():
     N = 1024
     cfg = Config(
         num_points=N, emb_dims=512,
-        compute_dtype="bfloat16" if mode == "fast" else "float32",
+        compute_dtype="float32" if mode == "exact" else "bfloat16",
         # approx_knn left False: the 'auto' kNN picks the exact fused
         # Pallas kernel on TPU, which beats approx_max_k
         approx_knn=(mode == "approx"),
+        partial=(mode == "partial"),
+        overlap=0.575,
+        iter=3 if mode == "partial" else 1,
     )
     print(f"mode={mode}", flush=True)
     model = VCRNet(cfg=cfg)
     rng = np.random.RandomState(0)
-    src = jax.device_put(rng.rand(B, N, 3).astype(np.float32) - 0.5)
-    tgt = jax.device_put(rng.rand(B, N, 3).astype(np.float32) - 0.5)
+    n_in = cfg.n_cropped  # partial mode crops the model input
+    src = jax.device_put(rng.rand(B, n_in, 3).astype(np.float32) - 0.5)
+    tgt = jax.device_put(rng.rand(B, n_in, 3).astype(np.float32) - 0.5)
     variables = model.init(jax.random.PRNGKey(0), src[:1], tgt[:1])
 
     def chained(v, s, t, iters):
