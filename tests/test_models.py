@@ -241,3 +241,22 @@ class TestLPD:
         assert np.isfinite(float(loss))
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+class TestIterCachedEmbedding:
+    def test_cached_tgt_embedding_is_exact(self):
+        """vcrnet_iter with the cached-target-embedding path must equal the
+        naive re-embed-everything path (the target never changes)."""
+        cfg = Config(num_points=64, emb_dims=64, ff_dims=128)
+        rng = np.random.RandomState(42)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        naive = vcrnet_iter(model.apply, variables, src, tgt, n_iter=3)
+        cached = vcrnet_iter(
+            model.apply, variables, src, tgt, n_iter=3, model=model
+        )
+        for a, b in zip(naive, cached):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )

@@ -133,6 +133,22 @@ class VCRNet(nn.Module):
             return self.vcp_att(src_emb, tgt_emb, src, tgt)
         raise ValueError(f"unknown vcp_nn: {self.cfg.vcp_nn}")
 
+    def embed(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """Embedding only — exposed so eval refinement loops can cache the
+        (unchanging) target embedding across iterations."""
+        return self.emb_nn(x, train=train)
+
+    def register_embedded(
+        self,
+        src: jax.Array,
+        tgt: jax.Array,
+        src_emb: jax.Array,
+        tgt_emb: jax.Array,
+        train: bool = False,
+    ):
+        """pointer -> VCP -> SVD on precomputed embeddings."""
+        return self._register(src, tgt, src_emb, tgt_emb, train)
+
     def __call__(self, src: jax.Array, tgt: jax.Array, train: bool = False):
         # embed both clouds in ONE call (stacked on the batch axis): halves
         # kernel-launch count and doubles per-kernel parallelism vs the
@@ -147,7 +163,9 @@ class VCRNet(nn.Module):
         else:
             src_emb = self.emb_nn(src, train=train)
             tgt_emb = self.emb_nn(tgt, train=train)
+        return self._register(src, tgt, src_emb, tgt_emb, train)
 
+    def _register(self, src, tgt, src_emb, tgt_emb, train):
         if self.pointer is not None:
             src_delta, tgt_delta = self.pointer(src_emb, tgt_emb)
             src_emb = src_emb + src_delta
@@ -165,17 +183,34 @@ class VCRNet(nn.Module):
         return src_k, src_corr_k, R_ab, t_ab, R_ba, t_ba
 
 
-def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int):
+def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     """Iterative eval-time refinement (reference vcrnetIter,
     vcrnet_model.py:21-43): re-run the net on the transformed source and
     compose. n_iter is static (small), so a python loop unrolls under jit.
+
+    When ``model`` is given, the target embedding is computed ONCE and
+    cached across iterations — the target never changes, so this is exact
+    (the reference re-embeds it every pass), and cuts per-extra-iteration
+    cost by the full target-embedding time.
     """
     transformed = src
     R_final = None
     t_final = None
     out = None
+    tgt_emb = (
+        model.apply(variables, tgt, method=VCRNet.embed)
+        if model is not None
+        else None
+    )
     for _ in range(n_iter):
-        out = apply_fn(variables, transformed, tgt)
+        if model is not None:
+            src_emb = model.apply(variables, transformed, method=VCRNet.embed)
+            out = model.apply(
+                variables, transformed, tgt, src_emb, tgt_emb,
+                method=VCRNet.register_embedded,
+            )
+        else:
+            out = apply_fn(variables, transformed, tgt)
         src_k, src_corr_k, R_ab, t_ab, _, _ = out
         transformed = geometry.transform_points(transformed, R_ab, t_ab)
         if R_final is None:

@@ -315,7 +315,9 @@ class Trainer:
         if cfg.model == "vcrnet":
             apply_fn = lambda v, s, t: self.model.apply(v, s, t)
             if cfg.iter > 0:
-                out = vcrnet_iter(apply_fn, variables, src, tgt, cfg.iter)
+                out = vcrnet_iter(
+                    apply_fn, variables, src, tgt, cfg.iter, model=self.model
+                )
             else:
                 out = vcrnet_icp(
                     apply_fn, variables, src, tgt, cfg.max_iterations
