@@ -321,3 +321,27 @@ class TestPartialMode:
         assert np.isfinite(float(sums["loss"]))
         summary = trainer.eval_epoch(state, test)
         assert np.isfinite(summary["rot_ab_RMSE"])
+
+
+class TestFitResume:
+    def test_scheduler_state_resumes(self, tmp_path):
+        cfg = tiny_cfg(epochs=2)
+        trainer = Trainer(cfg)
+        train, test = make_loaders(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), next(iter(train)))
+        state, hist1 = trainer.fit(
+            state, train, test, log=lambda s: None,
+            checkpoint_dir=str(tmp_path),
+        )
+        # resume for 2 more epochs: picks up at epoch 2 with trackers intact
+        cfg2 = cfg.replace(epochs=4)
+        trainer2 = Trainer(cfg2)
+        state2 = trainer2.init_state(jax.random.PRNGKey(1), next(iter(train)))
+        from vcrnet_tpu.train.checkpoint import load_checkpoint
+
+        state2 = load_checkpoint(str(tmp_path / "model.1.msgpack"), state2)
+        state2, hist2 = trainer2.fit(
+            state2, train, test, log=lambda s: None,
+            checkpoint_dir=str(tmp_path),
+        )
+        assert [h["epoch"] for h in hist2] == [2, 3]

@@ -41,6 +41,28 @@ def load_checkpoint(path: str, template):
     return serialization.from_bytes(template, data)
 
 
+def save_fit_state(directory: str, fit_state: dict) -> str:
+    """Persist scheduler/epoch/best-loss trackers next to the checkpoints
+    (a capability the reference lacks: its resume restarts the LR schedule,
+    SURVEY.md §5)."""
+    import json
+
+    path = os.path.join(directory, "fit_state.json")
+    with open(path, "w") as f:
+        json.dump(fit_state, f)
+    return path
+
+
+def load_fit_state(directory: str):
+    import json
+
+    path = os.path.join(directory, "fit_state.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def save_params(path: str, params) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:

@@ -430,8 +430,23 @@ class Trainer:
             patience = 5 if cfg.model == "dcp" else 10
             sched = ReduceLROnPlateau(initial_lr(cfg), patience=patience)
         best_loss = float("inf")
+        start_epoch = 0
+        # resume the scheduler/best-loss trackers (the reference restarts
+        # the LR schedule on resume — SURVEY.md §5 checkpoint)
+        if checkpoint_dir is not None:
+            from vcrnet_tpu.train.checkpoint import load_fit_state
+
+            fit_state = load_fit_state(checkpoint_dir)
+            if fit_state is not None:
+                best_loss = fit_state["best_loss"]
+                start_epoch = fit_state["epoch"] + 1
+                sched.__dict__.update(fit_state["sched"])
+                state = state.replace(
+                    opt_state=set_lr(state.opt_state, sched.lr)
+                )
+                log(f"resumed fit state at epoch {start_epoch}")
         history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             state, train_sum = self.train_epoch(state, train_loader)
             test_sum = self.eval_epoch(state, test_loader)
             key = "loss_pose" if cfg.model == "vcrnet" else "loss"
@@ -466,9 +481,21 @@ class Trainer:
                 f"test_loss={test_loss:.6f} best={best_loss:.6f}"
             )
             if checkpoint_dir is not None:
-                from vcrnet_tpu.train.checkpoint import save_checkpoint
+                from vcrnet_tpu.train.checkpoint import (
+                    save_checkpoint,
+                    save_fit_state,
+                )
 
                 save_checkpoint(checkpoint_dir, f"model.{epoch}", state)
+                save_fit_state(
+                    checkpoint_dir,
+                    {
+                        "epoch": epoch,
+                        "best_loss": best_loss,
+                        "lr": lr,
+                        "sched": dict(sched.__dict__),
+                    },
+                )
             if lr <= EARLY_STOP_LR:
                 break
         return state, history
