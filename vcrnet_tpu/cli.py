@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cycle", action="store_true", default=False)
     p.add_argument("--model_path", type=str, default="")
     p.add_argument("--dataset", type=str, default="modelnet40",
-                   choices=["modelnet40", "kitti", "synthetic"])
+                   choices=["modelnet40", "kitti", "synthetic", "synthetic_shapes"])
     p.add_argument("--n_blocks", type=int, default=1)
     p.add_argument("--n_heads", type=int, default=4)
     p.add_argument("--dropout", type=float, default=0.0)

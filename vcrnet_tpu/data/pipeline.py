@@ -103,12 +103,13 @@ def make_datasets(cfg: Config):
         from vcrnet_tpu.data.kitti import KITTI
 
         return KITTI(cfg, "train"), KITTI(cfg, "test")
-    if cfg.dataset == "synthetic":
+    if cfg.dataset in ("synthetic", "synthetic_shapes"):
         from vcrnet_tpu.data.synthetic import SyntheticDataset
 
+        kind = "shapes" if cfg.dataset == "synthetic_shapes" else "uniform"
         return (
-            SyntheticDataset(cfg, "train"),
-            SyntheticDataset(cfg, "test", n_items=128),
+            SyntheticDataset(cfg, "train", n_items=1024, kind=kind),
+            SyntheticDataset(cfg, "test", n_items=128, kind=kind),
         )
     raise ValueError(f"unknown dataset: {cfg.dataset}")
 
