@@ -92,9 +92,12 @@ def main():
     print(f"{mode} knn xyz: {dt*1000:7.2f} ms", flush=True)
 
     emb64 = jax.device_put(rng.rand(B, N, 64).astype(np.float32))
-    dt = chain_time(lambda x: x + 1e-9 * ops.knn(
-        x, 20, precision=precision, approx=cfg.approx_knn
-    )[:, :, :3].astype(x.dtype), emb64)
+    dt = chain_time(
+        lambda x: x + 1e-9 * ops.knn(
+            x, 20, precision=precision, approx=cfg.approx_knn
+        ).astype(x.dtype).mean(axis=2, keepdims=True),
+        emb64,
+    )
     print(f"{mode} knn C=64: {dt*1000:7.2f} ms", flush=True)
 
 
