@@ -345,3 +345,38 @@ class TestFitResume:
             checkpoint_dir=str(tmp_path),
         )
         assert [h["epoch"] for h in hist2] == [2, 3]
+
+
+class TestOnDeviceAugmentation:
+    def test_raw_cloud_training_path(self):
+        """Training from raw clouds with on-device augmentation inside the
+        jitted step (the north-star data path)."""
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        rng = np.random.RandomState(0)
+        clouds = [rng.rand(8, 128, 3).astype(np.float32) - 0.5 for _ in range(2)]
+        # init with an augmented-shape batch
+        example = {
+            "src": clouds[0][:, : cfg.num_points],
+            "tgt": clouds[0][:, : cfg.num_points],
+        }
+        state = trainer.init_state(jax.random.PRNGKey(0), example)
+        state, summary = trainer.train_epoch_raw(state, clouds)
+        assert np.isfinite(summary["loss"])
+        assert summary["num_examples"] == 16
+
+    def test_raw_path_learns(self):
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        rng = np.random.RandomState(1)
+        clouds = rng.rand(4, 128, 3).astype(np.float32) - 0.5
+        example = {
+            "src": clouds[:, : cfg.num_points],
+            "tgt": clouds[:, : cfg.num_points],
+        }
+        state = trainer.init_state(jax.random.PRNGKey(0), example)
+        losses = []
+        for _ in range(6):
+            state, summary = trainer.train_epoch_raw(state, [clouds])
+            losses.append(summary["loss"])
+        assert losses[-1] < losses[0]

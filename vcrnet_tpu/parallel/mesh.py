@@ -46,7 +46,8 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def pad_to_multiple(batch: dict, multiple: int) -> dict:
     """Pad the batch axis so it divides the mesh (padding rows get
     valid=0 so metrics ignore them)."""
-    b = batch["src"].shape[0]
+    lead = "src" if "src" in batch else next(iter(batch))
+    b = batch[lead].shape[0]
     rem = b % multiple
     if rem == 0:
         return batch

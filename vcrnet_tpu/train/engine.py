@@ -113,6 +113,13 @@ class Trainer:
             in_shardings=(self._rep, self._shd),
             donate_argnums=(0,),
         )
+        # raw-cloud path: augmentation happens INSIDE the jitted step on
+        # device (north-star data path; host only ships raw clouds)
+        self._train_step_raw = jax.jit(
+            self._train_step_raw_impl,
+            in_shardings=(self._rep, self._shd),
+            donate_argnums=(0,),
+        )
         self._eval_step = jax.jit(
             self._eval_step_impl, in_shardings=(self._rep, self._shd)
         )
@@ -292,6 +299,37 @@ class Trainer:
             step=state.step + 1,
         )
         return state, sums
+
+    def _train_step_raw_impl(self, state: TrainState, batch: dict):
+        """Train on raw clouds: the ModelNet40-style augmentation (rotate/
+        translate/subsample/crop/jitter) runs on-device inside this jitted
+        step — the host never touches augmented data."""
+        from vcrnet_tpu.data.augment import device_augment_batch
+
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.cfg.seed), state.step
+        )
+        aug = device_augment_batch(key, batch["clouds"], self.cfg)
+        aug["valid"] = batch.get(
+            "valid", jnp.ones(batch["clouds"].shape[0])
+        )
+        return self._train_step_impl(state, aug)
+
+    def train_epoch_raw(self, state: TrainState, cloud_batches):
+        """Epoch over raw-cloud batches: iterable of [B, M, 3] arrays."""
+        acc = M.EpochAccumulator()
+        for clouds in cloud_batches:
+            batch = {"clouds": np.asarray(clouds)}
+            batch["valid"] = np.ones(batch["clouds"].shape[0], np.float32)
+            from vcrnet_tpu.parallel.mesh import pad_to_multiple
+
+            batch = pad_to_multiple(batch, self.mesh.devices.size)
+            dev = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._shd), batch
+            )
+            state, sums = self._train_step_raw(state, dev)
+            acc.add(sums)
+        return state, M.summarize(acc)
 
     def _eval_step_impl(self, state: TrainState, batch: dict):
         cfg = self.cfg
