@@ -380,3 +380,42 @@ class TestOnDeviceAugmentation:
             state, summary = trainer.train_epoch_raw(state, [clouds])
             losses.append(summary["loss"])
         assert losses[-1] < losses[0]
+
+
+class TestLossVariantsAndDepth:
+    @pytest.mark.parametrize("loss", ["pose", "mixed"])
+    def test_loss_variants_train(self, loss):
+        cfg = tiny_cfg(loss=loss)
+        trainer = Trainer(cfg)
+        train, _ = make_loaders(cfg)
+        batch = next(iter(train))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        dev = trainer._to_device(batch)
+        l0 = None
+        for _ in range(8):
+            state, sums = trainer._train_step(state, dev)
+            l = float(sums["loss"]) / float(sums["count"])
+            l0 = l if l0 is None else l0
+        assert np.isfinite(l)
+        assert l < l0  # overfit one batch
+
+    def test_two_block_transformer(self):
+        cfg = tiny_cfg(n_blocks=2)
+        trainer = Trainer(cfg)
+        train, _ = make_loaders(cfg)
+        batch = next(iter(train))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        # two distinct encoder/decoder layers exist
+        assert "enc_layers_1" in state.params["pointer"]
+        assert "dec_layers_1" in state.params["pointer"]
+        state, sums = trainer._train_step(state, trainer._to_device(batch))
+        assert np.isfinite(float(sums["loss"]))
+
+    def test_sgd_variant_trains(self):
+        cfg = tiny_cfg(use_sgd=True, lr=1e-5)
+        trainer = Trainer(cfg)
+        train, _ = make_loaders(cfg)
+        batch = next(iter(train))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, sums = trainer._train_step(state, trainer._to_device(batch))
+        assert np.isfinite(float(sums["loss"]))
