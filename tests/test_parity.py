@@ -349,3 +349,34 @@ class TestDGCNNGolden:
         np.testing.assert_allclose(
             ours.transpose(0, 2, 1), golden, atol=2e-4, rtol=1e-3
         )
+
+
+class TestKeptKeysRemaskIdentity:
+    def test_gathered_topk_keys_equal_remasked_softmax(self):
+        """The streaming re-mask identity: softmax over scores with non-kept
+        keys at -1e9 == softmax over just the gathered kept keys."""
+        from vcrnet_tpu.models.transformer import _remask_topk_keys
+
+        rng = np.random.RandomState(30)
+        B, H, N, D = 2, 4, 32, 8
+        q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+        keep_k = 24
+
+        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / np.sqrt(D)
+        p = jax.nn.softmax(scores, axis=-1)
+        p2 = _remask_topk_keys(scores, p, keep_k)
+        ref = jnp.einsum("bhnm,bhmd->bhnd", p2, v)
+
+        col_mass = p.sum(axis=(1, 2))
+        _, keep_idx = jax.lax.top_k(col_mass, keep_k)
+        take = lambda arr: jnp.take_along_axis(
+            arr, keep_idx[:, None, :, None], axis=2
+        )
+        k2, v2 = take(k), take(v)
+        s2 = jnp.einsum("bhnd,bhmd->bhnm", q, k2) / np.sqrt(D)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", jax.nn.softmax(s2, axis=-1), v2
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

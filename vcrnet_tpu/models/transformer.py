@@ -58,6 +58,38 @@ def _remask_topk_keys(scores: jax.Array, p_attn: jax.Array, keep_k: int):
     return jax.nn.softmax(scores, axis=-1)
 
 
+def _flash(q, k, v, sm_scale):
+    """Pallas flash attention with one-shot blocks (at N<=1024, D=128
+    everything fits in VMEM; measured 6x over the library defaults). Pads
+    the key axis to a lane multiple with segment-id masking when needed."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    seg = None
+    pad = (-Nk) % 128
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kv_seg = jnp.concatenate(
+            [jnp.zeros((B, Nk), jnp.int32), jnp.ones((B, pad), jnp.int32)],
+            axis=1,
+        )
+        seg = fa.SegmentIds(q=jnp.zeros((B, Nq), jnp.int32), kv=kv_seg)
+        Nk += pad
+    bq = min(Nq, 1024)
+    bk = min(Nk, 1024)
+    bs = fa.BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    return fa.flash_attention(
+        q, k, v, segment_ids=seg, sm_scale=sm_scale, block_sizes=bs
+    )
+
+
 class MultiHeadAttention(nn.Module):
     """4-linear MHA (q, k, v, out), optional partial-overlap key re-mask.
 
@@ -92,22 +124,25 @@ class MultiHeadAttention(nn.Module):
         v = proj(value, "linear_v")
 
         if self.flash and not self.remask:
-            from jax.experimental.pallas.ops.tpu import flash_attention as fa
-
-            # full-length K blocks: at N<=1024, D=128 everything fits in
-            # VMEM and one-shot blocks beat the library defaults 6x
-            # (measured 1.3 ms vs 8.4 ms at B=64, H=4, N=1024)
-            bq = min(Nq, 1024)
-            bk = min(Nk, 1024)
-            bs = fa.BlockSizes(
-                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-                block_q_major_dkv=bq, block_k_major_dkv=bk,
-                block_k_dkv=bk, block_q_dkv=bq,
-                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+            x = _flash(q, k, v, 1.0 / (d_k**0.5))
+        elif self.flash and self.remask and not self.capture_attention:
+            # streaming re-mask: the re-mask keeps exactly
+            # int(Nk * overlap2) keys — a STATIC count — so instead of
+            # re-softmaxing the full [B,H,Nq,Nk] scores with -1e9 holes we
+            # GATHER the kept key/value rows and flash-attend over just
+            # those (numerically identical: exp(-1e9) underflows to 0).
+            # The column masses still need one full softmax pass.
+            keep_k = int(Nk * self.overlap2)
+            scores = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, precision=self.precision,
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
+            col_mass = jax.nn.softmax(scores, axis=-1).sum(axis=(1, 2))
+            _, keep_idx = jax.lax.top_k(col_mass, keep_k)  # [B, keep_k]
+            take = lambda arr: jnp.take_along_axis(
+                arr, keep_idx[:, None, :, None], axis=2
             )
-            x = fa.flash_attention(
-                q, k, v, sm_scale=1.0 / (d_k**0.5), block_sizes=bs
-            )
+            x = _flash(q, take(k), take(v), 1.0 / (d_k**0.5))
         else:
             scores = jnp.einsum(
                 "bhnd,bhmd->bhnm", q, k, precision=self.precision,
