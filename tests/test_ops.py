@@ -198,3 +198,13 @@ class TestStreamingVcp:
             se, te, tgt, tile_q=64, tile_k=64, interpret=True
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_knn_auto_rejects_non_tileable_n():
+    # N=100 is not a multiple of 8: auto must fall back to the exact path
+    # (the Pallas kernel needs 8-row sublane tiles)
+    rng = np.random.RandomState(40)
+    x = jnp.asarray(rng.rand(1, 100, 3).astype(np.float32))
+    idx = ops.knn(x, 5)  # must not raise, CPU or TPU
+    ref = ops.knn(x, 5, method="exact")
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))

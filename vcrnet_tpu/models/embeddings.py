@@ -152,6 +152,7 @@ class LPDNet(nn.Module):
             not train
             and self.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
+            and x.shape[1] % 8 == 0  # Mosaic sublane tiling constraint
         )
 
         # dynamic graph in feature space (reference convDG1/convDG2)

@@ -116,6 +116,8 @@ class VCRNet(nn.Module):
                 not train
                 and _dtype(cfg) == jnp.bfloat16
                 and jax.default_backend() == "tpu"
+                and src.shape[1] % 8 == 0
+                and tgt.shape[1] % 8 == 0
             )
             if use_streaming:
                 from vcrnet_tpu.ops.pallas_vcp import (

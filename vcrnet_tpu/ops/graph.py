@@ -77,7 +77,7 @@ def knn(
     n, c = x.shape[1], x.shape[2]
     if method == "auto":
         pallas_ok = (
-            jax.default_backend() == "tpu" and n % 2 == 0 and n <= 8192
+            jax.default_backend() == "tpu" and n % 8 == 0 and n <= 8192
             and c <= 512
         )
         method = "pallas" if pallas_ok else "exact"

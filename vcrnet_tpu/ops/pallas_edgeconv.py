@@ -122,7 +122,8 @@ def _norms(x):
 def _pick_tile(n, tile_q):
     if n % tile_q == 0:
         return tile_q
-    return next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if n % t == 0)
+    # >= 8: Mosaic requires the sublane dim divisible by 8
+    return next(t for t in (128, 64, 32, 16, 8) if n % t == 0)
 
 
 def fused_edge_conv(

@@ -90,8 +90,8 @@ def _fused_knn_impl(
 ) -> jax.Array:
     B, N, C = x.shape
     if N % tile_q != 0:
-        # fall back to the largest divisor tile
-        tile_q = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if N % t == 0)
+        # largest divisor tile >= 8 (Mosaic sublane constraint)
+        tile_q = next(t for t in (128, 64, 32, 16, 8) if N % t == 0)
 
     # [B, 1, N]: the singleton keeps the block shape tile-legal on TPU
     norms = jnp.sum(

@@ -79,7 +79,9 @@ def streaming_soft_correspondence(
     B, Ns, E = src_emb.shape
     Nt = tgt_emb.shape[1]
     tile_q = next(t for t in (tile_q, 128, 64, 32, 16, 8) if Ns % t == 0)
-    tile_k = next(t for t in (tile_k, 512, 256, 128, 64, 32, 8) if Nt % t == 0)
+    tile_k = next(
+        t for t in (tile_k, 512, 256, 128, 64, 32, 16, 8) if Nt % t == 0
+    )
     n_k_tiles = Nt // tile_k
 
     # pad xyz values to lane width so the accumulator tiles cleanly
