@@ -70,7 +70,7 @@ def bench_eval_throughput(batch: int = 64, iters: int = 20, warmup: int = 3):
 
 def main():
     best = 0.0
-    for batch in (64, 128, 256):
+    for batch in (64, 128, 256, 512):
         try:
             pairs_per_sec = bench_eval_throughput(batch=batch)
         except Exception:
