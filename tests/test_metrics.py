@@ -1,0 +1,56 @@
+"""Metric-summary unit tests: summarize() arithmetic equals the reference's
+epoch-end math, including ragged-tail masking."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vcrnet_tpu import geometry
+from vcrnet_tpu.train.metrics import (
+    EpochAccumulator,
+    summarize,
+    rotation_translation_sums,
+    point_sums,
+)
+
+
+def test_rotation_sums_match_reference_math():
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.RandomState(0)
+    angles_gt = rng.uniform(-0.5, 0.5, (6, 3))
+    angles_pred = angles_gt + rng.randn(6, 3) * 0.05
+    R_pred = Rotation.from_euler("zyx", angles_pred).as_matrix()
+    t_pred = rng.randn(6, 3).astype(np.float32)
+    t_gt = rng.randn(6, 3).astype(np.float32)
+    valid = np.asarray([1, 1, 1, 1, 0, 0], np.float32)  # 2 padded
+
+    sums = rotation_translation_sums(
+        jnp.asarray(R_pred.astype(np.float32)), jnp.asarray(t_pred),
+        jnp.asarray(angles_gt.astype(np.float32)), jnp.asarray(t_gt),
+        jnp.asarray(valid), "zyx",
+    )
+    # reference math on the valid subset (vcrnet_model.py:777-782)
+    e_pred = Rotation.from_matrix(R_pred[:4]).as_euler("zyx", degrees=True)
+    e_gt = np.degrees(angles_gt[:4])
+    ref_mse = np.mean((e_pred - e_gt) ** 2)
+    acc = EpochAccumulator()
+    acc.add({f"{k}_ab": v for k, v in sums.items() if k != "count3"})
+    acc.add({"count3": sums["count3"], "count": valid.sum()})
+    out = summarize(acc)
+    np.testing.assert_allclose(out["rot_ab_MSE"], ref_mse, rtol=1e-5)
+    np.testing.assert_allclose(
+        out["rot_ab_RMSE"], np.sqrt(ref_mse), rtol=1e-5
+    )
+    ref_t_mae = np.mean(np.abs(t_gt[:4] - t_pred[:4]))
+    np.testing.assert_allclose(out["trans_ab_MAE"], ref_t_mae, rtol=1e-5)
+
+
+def test_point_sums_weighted():
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.randn(3, 10, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(3, 10, 3).astype(np.float32))
+    valid = jnp.asarray([1.0, 0.0, 1.0])
+    s = point_sums(a, b, valid)
+    ref = np.mean((np.asarray(a) - np.asarray(b)) ** 2, axis=(1, 2))
+    np.testing.assert_allclose(float(s["p_se"]), ref[0] + ref[2], rtol=1e-5)
+    assert float(s["count"]) == 2.0

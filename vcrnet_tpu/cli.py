@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--pretrained_t7", type=str, default="",
                    help="optional LPDNet .t7 to warm-start the embedding")
+    p.add_argument("--show_worst", type=int, default=0,
+                   help="after eval, report the K worst rot/trans cases "
+                        "(reference showBad, dcp_model.py:506-556)")
     return p
 
 
@@ -154,6 +157,14 @@ def main(argv=None):
         textio.cprint("==FINAL TEST==")
         textio.cprint("A--------->B")
         textio.cprint(json.dumps(summary, indent=2, default=float))
+        if args.show_worst > 0 and cfg.model != "lpd":
+            worst = trainer.worst_cases(state, test_loader, k=args.show_worst)
+            textio.cprint(
+                f"worst rotation cases (dataset idx): {worst['worst_rot_idx']}"
+            )
+            textio.cprint(
+                f"worst translation cases: {worst['worst_trans_idx']}"
+            )
     else:
         ckpt_dir = os.path.join(run_dir, "models")
         state, history = trainer.fit(
