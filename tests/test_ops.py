@@ -208,3 +208,19 @@ def test_knn_auto_rejects_non_tileable_n():
     idx = ops.knn(x, 5)  # must not raise, CPU or TPU
     ref = ops.knn(x, 5, method="exact")
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+
+
+def test_softmax_colmass_matches_xla():
+    import jax
+    from vcrnet_tpu.ops.pallas_colmass import softmax_colmass
+
+    rng = np.random.RandomState(41)
+    G, Nq, Nk, D = 3, 64, 96, 16
+    q = jnp.asarray(rng.randn(G, Nq, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(G, Nk, D).astype(np.float32))
+    scale = 1 / np.sqrt(D)
+    ref = jax.nn.softmax(
+        jnp.einsum("gnd,gmd->gnm", q, k) * scale, axis=-1
+    ).sum(axis=1)
+    out = softmax_colmass(q, k, scale, tile_q=32, tile_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

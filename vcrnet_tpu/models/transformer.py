@@ -132,18 +132,20 @@ class MultiHeadAttention(nn.Module):
         if self.flash and not self.remask:
             x = _flash(q, k, v, 1.0 / (d_k**0.5))
         elif self.flash and self.remask and not self.capture_attention:
-            # streaming re-mask: the re-mask keeps exactly
-            # int(Nk * overlap2) keys — a STATIC count — so instead of
-            # re-softmaxing the full [B,H,Nq,Nk] scores with -1e9 holes we
-            # GATHER the kept key/value rows and flash-attend over just
-            # those (numerically identical: exp(-1e9) underflows to 0).
-            # The column masses still need one full softmax pass.
+            # fully streaming re-mask: (1) per-key attention masses via the
+            # two-pass colmass kernels (no [B,H,Nq,Nk] tensor in HBM);
+            # (2) the re-mask keeps exactly int(Nk * overlap2) keys — a
+            # STATIC count — so GATHER the kept key/value rows and
+            # flash-attend over just those (numerically identical to the
+            # -1e9 re-softmax: exp(-1e9) underflows to 0).
+            from vcrnet_tpu.ops.pallas_colmass import softmax_colmass
+
             keep_k = int(Nk * self.overlap2)
-            scores = jnp.einsum(
-                "bhnd,bhmd->bhnm", q, k, precision=self.precision,
-                preferred_element_type=jnp.float32,
-            ) / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
-            col_mass = jax.nn.softmax(scores, axis=-1).sum(axis=(1, 2))
+            cm = softmax_colmass(
+                q.reshape(B * h, Nq, d_k), k.reshape(B * h, Nk, d_k),
+                1.0 / (d_k**0.5),
+            )
+            col_mass = cm.reshape(B, h, Nk).sum(axis=1)  # [B, Nk]
             _, keep_idx = jax.lax.top_k(col_mass, keep_k)  # [B, keep_k]
             take = lambda arr: jnp.take_along_axis(
                 arr, keep_idx[:, None, :, None], axis=2
