@@ -138,14 +138,27 @@ class MultiHeadAttention(nn.Module):
             # STATIC count — so GATHER the kept key/value rows and
             # flash-attend over just those (numerically identical to the
             # -1e9 re-softmax: exp(-1e9) underflows to 0).
-            from vcrnet_tpu.ops.pallas_colmass import softmax_colmass
-
             keep_k = int(Nk * self.overlap2)
-            cm = softmax_colmass(
-                q.reshape(B * h, Nq, d_k), k.reshape(B * h, Nk, d_k),
-                1.0 / (d_k**0.5),
-            )
-            col_mass = cm.reshape(B, h, Nk).sum(axis=1)  # [B, Nk]
+            if Nk > 2048:
+                # large-N: the O(N^2) probability tensor would dominate HBM;
+                # compute masses with the streaming two-pass kernels
+                # (recomputes scores twice but keeps memory O(N))
+                from vcrnet_tpu.ops.pallas_colmass import softmax_colmass
+
+                cm = softmax_colmass(
+                    q.reshape(B * h, Nq, d_k), k.reshape(B * h, Nk, d_k),
+                    1.0 / (d_k**0.5),
+                )
+                col_mass = cm.reshape(B, h, Nk).sum(axis=1)  # [B, Nk]
+            else:
+                # N<=2048: one XLA softmax materialisation is faster than
+                # two streaming score passes (measured 45.8 vs 60.0 ms
+                # partial fwd at B=64, N=768)
+                scores = jnp.einsum(
+                    "bhnd,bhmd->bhnm", q, k, precision=self.precision,
+                    preferred_element_type=jnp.float32,
+                ) / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
+                col_mass = jax.nn.softmax(scores, axis=-1).sum(axis=(1, 2))
             _, keep_idx = jax.lax.top_k(col_mass, keep_k)  # [B, keep_k]
             take = lambda arr: jnp.take_along_axis(
                 arr, keep_idx[:, None, :, None], axis=2
