@@ -131,34 +131,27 @@ class MultiHeadAttention(nn.Module):
 
         if self.flash and not self.remask:
             x = _flash(q, k, v, 1.0 / (d_k**0.5))
-        elif self.flash and self.remask and not self.capture_attention:
-            # fully streaming re-mask: (1) per-key attention masses via the
-            # two-pass colmass kernels (no [B,H,Nq,Nk] tensor in HBM);
+        elif (
+            self.flash and self.remask and not self.capture_attention
+            and Nk > 2048
+        ):
+            # large-N streaming re-mask (only pays off beyond ~2048 keys —
+            # A/B at N=768 measured it 1-3% slower than the fused XLA path,
+            # but it keeps memory O(N) where the XLA path is O(N^2)):
+            # (1) per-key attention masses via the two-pass colmass kernels
+            #     (no [B,H,Nq,Nk] tensor in HBM);
             # (2) the re-mask keeps exactly int(Nk * overlap2) keys — a
-            # STATIC count — so GATHER the kept key/value rows and
-            # flash-attend over just those (numerically identical to the
-            # -1e9 re-softmax: exp(-1e9) underflows to 0).
-            keep_k = int(Nk * self.overlap2)
-            if Nk > 2048:
-                # large-N: the O(N^2) probability tensor would dominate HBM;
-                # compute masses with the streaming two-pass kernels
-                # (recomputes scores twice but keeps memory O(N))
-                from vcrnet_tpu.ops.pallas_colmass import softmax_colmass
+            #     STATIC count — so GATHER the kept key/value rows and
+            #     flash-attend over just those (numerically identical to the
+            #     -1e9 re-softmax: exp(-1e9) underflows to 0).
+            from vcrnet_tpu.ops.pallas_colmass import softmax_colmass
 
-                cm = softmax_colmass(
-                    q.reshape(B * h, Nq, d_k), k.reshape(B * h, Nk, d_k),
-                    1.0 / (d_k**0.5),
-                )
-                col_mass = cm.reshape(B, h, Nk).sum(axis=1)  # [B, Nk]
-            else:
-                # N<=2048: one XLA softmax materialisation is faster than
-                # two streaming score passes (measured 45.8 vs 60.0 ms
-                # partial fwd at B=64, N=768)
-                scores = jnp.einsum(
-                    "bhnd,bhmd->bhnm", q, k, precision=self.precision,
-                    preferred_element_type=jnp.float32,
-                ) / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
-                col_mass = jax.nn.softmax(scores, axis=-1).sum(axis=(1, 2))
+            keep_k = int(Nk * self.overlap2)
+            cm = softmax_colmass(
+                q.reshape(B * h, Nq, d_k), k.reshape(B * h, Nk, d_k),
+                1.0 / (d_k**0.5),
+            )
+            col_mass = cm.reshape(B, h, Nk).sum(axis=1)  # [B, Nk]
             _, keep_idx = jax.lax.top_k(col_mass, keep_k)  # [B, keep_k]
             take = lambda arr: jnp.take_along_axis(
                 arr, keep_idx[:, None, :, None], axis=2
