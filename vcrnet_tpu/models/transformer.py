@@ -133,7 +133,7 @@ class MultiHeadAttention(nn.Module):
             x = _flash(q, k, v, 1.0 / (d_k**0.5))
         elif (
             self.flash and self.remask and not self.capture_attention
-            and Nk > 2048
+            and Nk > 2048 and Nk % 128 == 0 and Nq % 128 == 0
         ):
             # large-N streaming re-mask (only pays off beyond ~2048 keys —
             # A/B at N=768 measured it 1-3% slower than the fused XLA path,
