@@ -69,13 +69,23 @@ def bench_eval_throughput(batch: int = 64, iters: int = 20, warmup: int = 3):
 
 
 def main():
+    import sys
+    import traceback
+
     best = 0.0
     for batch in (64, 128, 256, 512):
-        try:
-            pairs_per_sec = bench_eval_throughput(batch=batch)
-        except Exception:
+        pairs_per_sec = None
+        for attempt in range(2):  # tunnel hiccups happen; retry once
+            try:
+                pairs_per_sec = bench_eval_throughput(batch=batch)
+                break
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
+        if pairs_per_sec is None:
             break
         best = max(best, pairs_per_sec)
+    if best == 0.0:
+        raise RuntimeError("all benchmark configurations failed")
     print(
         json.dumps(
             {
