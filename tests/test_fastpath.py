@@ -11,7 +11,14 @@ from vcrnet_tpu.config import Config
 from vcrnet_tpu.models import VCRNet
 from vcrnet_tpu.train.checkpoint import load_t7_lpdnet
 
+import pytest
+
 T7_PATH = "/root/reference/pretrained/lpd-pretrained.t7"
+T7_SKIP = pytest.mark.skipif(
+    not __import__("os").path.exists(T7_PATH),
+    reason="reference pretrained .t7 not present",
+)
+
 
 
 def test_approx_knn_recall():
@@ -30,6 +37,7 @@ def test_approx_knn_recall():
     assert recall > 0.9, recall
 
 
+@T7_SKIP
 def test_fast_mode_rotation_close_to_exact():
     """Full VCRNet forward with pretrained LPDNet embedding: the fast path's
     recovered rotation must be within a fraction of a degree of the exact

@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 
 T7_PATH = "/root/reference/pretrained/lpd-pretrained.t7"
+T7_SKIP = pytest.mark.skipif(
+    not __import__("os").path.exists(T7_PATH),
+    reason="reference pretrained .t7 not present",
+)
+
 
 
 def torch_knn_idx(x_t, k):
@@ -70,6 +75,7 @@ class TestLPDNetGolden:
                         sd["emb_nn.conv3_lpd.bias"]))
         return x  # [B, 512, N]
 
+    @T7_SKIP
     @pytest.mark.parametrize("slope", [0.0, 0.2])
     def test_pretrained_forward_parity(self, slope):
         from vcrnet_tpu.models.embeddings import LPDNet

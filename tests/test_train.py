@@ -218,7 +218,11 @@ class TestCheckpoint:
         assert int(restored.step) == int(state.step)
 
     def test_t7_conversion_shapes_and_merge(self):
+        import os
+
         t7 = "/root/reference/pretrained/lpd-pretrained.t7"
+        if not os.path.exists(t7):
+            pytest.skip("reference pretrained .t7 not present")
         emb = load_t7_lpdnet(t7)
         assert set(emb) == {
             "conv1_lpd", "conv2_lpd", "conv3_lpd",

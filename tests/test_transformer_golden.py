@@ -141,9 +141,16 @@ def test_pointer_golden_vs_torch_mirror():
 
 
 def test_lpdnet_t7_export_roundtrip(tmp_path):
+    import os
+
+    import pytest
+
     from vcrnet_tpu.train.checkpoint import load_t7_lpdnet, export_lpdnet_t7
 
-    emb = load_t7_lpdnet("/root/reference/pretrained/lpd-pretrained.t7")
+    t7 = "/root/reference/pretrained/lpd-pretrained.t7"
+    if not os.path.exists(t7):
+        pytest.skip("reference pretrained .t7 not present")
+    emb = load_t7_lpdnet(t7)
     path = export_lpdnet_t7(emb, str(tmp_path / "roundtrip.t7"))
     emb2 = load_t7_lpdnet(path)
     for name in emb:
