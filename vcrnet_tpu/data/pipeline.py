@@ -84,6 +84,45 @@ class Loader:
             yield batch
 
 
+def prefetch(loader, map_fn=None, depth: int = 2):
+    """Background-thread prefetch over any batch iterable.
+
+    A worker thread pulls batches (running the dataset's numpy augmentation)
+    and applies ``map_fn`` (typically the host->device put, which is async
+    in JAX) up to ``depth`` batches ahead, so host-side batch prep and H2D
+    transfer overlap device compute. Replaces — and on this workload beats —
+    the reference's 4 DataLoader workers (util/initPara.py:219): the heavy
+    augmentation can additionally run on-device entirely
+    (data/augment.py::device_augment_batch).
+
+    Exceptions in the worker are re-raised in the consumer. If the consumer
+    abandons iteration early, the daemon worker parks on the bounded queue
+    and is reclaimed at interpreter exit (one epoch of batches at most).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in loader:
+                q.put(map_fn(item) if map_fn is not None else item)
+            q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def make_datasets(cfg: Config):
     """Dataset factory mirroring the reference dispatch
     (util/initPara.py:216-231), with the synthetic fallback."""

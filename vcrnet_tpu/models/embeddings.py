@@ -135,14 +135,18 @@ class LPDNet(nn.Module):
 
         x_init_3d = x
         if self.t3d:
-            trans = TransformNet(k=3, name="t_net3d")(x, train=train)
+            trans = TransformNet(
+                k=3, negative_slope=self.negative_slope, name="t_net3d"
+            )(x, train=train)
             x = jnp.einsum("bnc,bcd->bnd", x, trans, precision=self.precision)
 
         x = act(dense(64, "conv1_lpd")(x))
         x = act(dense(64, "conv2_lpd")(x))
 
         if self.tfea:
-            trans = TransformNet(k=64, name="t_net_fea")(x, train=train)
+            trans = TransformNet(
+                k=64, negative_slope=self.negative_slope, name="t_net_fea"
+            )(x, train=train)
             x = jnp.einsum("bnc,bcd->bnd", x, trans, precision=self.precision)
 
         # fully-fused Pallas eval path: kNN + neighbor combine in VMEM
@@ -204,22 +208,39 @@ class TransformNet(nn.Module):
     """PointNet-style k x k input/feature alignment (T-Net).
 
     Reference model/lpdnet_model.py:19-70. Gated by --t3d / --tfea.
+
+    Init parity with reference initNet (util/initPara.py:38-55): the conv
+    weights get kaiming-uniform at the parent LPDNet's leaky slope; the fc
+    (nn.Linear) weights get normal(std=1e-3) with zero bias. (initNet leaves
+    conv biases at torch's default; we keep flax's zeros — the convs feed
+    BatchNorm, which absorbs any constant bias.)
     """
 
     k: int = 3
+    negative_slope: float = 0.0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
         )
-        x = nn.relu(bn("bn1")(nn.Dense(64, name="conv1")(x)))
-        x = nn.relu(bn("bn2")(nn.Dense(128, name="conv2")(x)))
-        x = nn.relu(bn("bn3")(nn.Dense(1024, name="conv3")(x)))
+        conv = lambda feats, name: nn.Dense(
+            feats, name=name,
+            kernel_init=_kaiming_uniform(self.negative_slope),
+            bias_init=nn.initializers.zeros,
+        )
+        fc = lambda feats, name: nn.Dense(
+            feats, name=name,
+            kernel_init=nn.initializers.normal(1e-3),
+            bias_init=nn.initializers.zeros,
+        )
+        x = nn.relu(bn("bn1")(conv(64, "conv1")(x)))
+        x = nn.relu(bn("bn2")(conv(128, "conv2")(x)))
+        x = nn.relu(bn("bn3")(conv(1024, "conv3")(x)))
         x = x.max(axis=1)  # global max pool over points -> [B, 1024]
-        x = nn.relu(bn("bn4")(nn.Dense(512, name="fc1")(x)))
-        x = nn.relu(bn("bn5")(nn.Dense(256, name="fc2")(x)))
-        x = nn.Dense(self.k * self.k, name="fc3")(x)
+        x = nn.relu(bn("bn4")(fc(512, "fc1")(x)))
+        x = nn.relu(bn("bn5")(fc(256, "fc2")(x)))
+        x = fc(self.k * self.k, "fc3")(x)
         iden = jnp.eye(self.k, dtype=x.dtype).reshape(1, -1)
         return (x + iden).reshape(-1, self.k, self.k)
 

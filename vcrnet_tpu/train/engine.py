@@ -87,6 +87,28 @@ def _cycle_loss(R_ab_p, t_ab_p, R_ba_p, t_ba_p):
     return rot + tr
 
 
+def _board_scalars(writer, split: str, loss: float, summary: dict, epoch: int):
+    """The reference's full TensorBoard scalar matrix (dcp_model.py:727-793):
+    for each direction x split, loss plus point/rotation/translation
+    MSE/RMSE/MAE. The reference's vcrnet loop writes a subset of the same
+    tags (vcrnet_model.py:997-1010); we emit the full matrix for both."""
+    for d, suf in (("A->B", "ab"), ("B->A", "ba")):
+        writer.scalar(f"{d}/{split}/loss", loss, epoch)
+        for tag, key in (
+            ("MSE", f"point_{suf}_MSE"),
+            ("RMSE", f"point_{suf}_RMSE"),
+            ("MAE", f"point_{suf}_MAE"),
+            ("rotation/MSE", f"rot_{suf}_MSE"),
+            ("rotation/RMSE", f"rot_{suf}_RMSE"),
+            ("rotation/MAE", f"rot_{suf}_MAE"),
+            ("translation/MSE", f"trans_{suf}_MSE"),
+            ("translation/RMSE", f"trans_{suf}_RMSE"),
+            ("translation/MAE", f"trans_{suf}_MAE"),
+        ):
+            if key in summary:
+                writer.scalar(f"{d}/{split}/{tag}", summary[key], epoch)
+
+
 class Trainer:
     """Builds the model for cfg.model and exposes jitted step functions."""
 
@@ -317,16 +339,19 @@ class Trainer:
 
     def train_epoch_raw(self, state: TrainState, cloud_batches):
         """Epoch over raw-cloud batches: iterable of [B, M, 3] arrays."""
-        acc = M.EpochAccumulator()
-        for clouds in cloud_batches:
+        from vcrnet_tpu.data.pipeline import prefetch
+        from vcrnet_tpu.parallel.mesh import pad_to_multiple
+
+        def to_device(clouds):
             batch = {"clouds": np.asarray(clouds)}
             batch["valid"] = np.ones(batch["clouds"].shape[0], np.float32)
-            from vcrnet_tpu.parallel.mesh import pad_to_multiple
-
             batch = pad_to_multiple(batch, self.mesh.devices.size)
-            dev = jax.tree_util.tree_map(
+            return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self._shd), batch
             )
+
+        acc = M.EpochAccumulator()
+        for dev in prefetch(cloud_batches, to_device):
             state, sums = self._train_step_raw(state, dev)
             acc.add(sums)
         return state, M.summarize(acc)
@@ -422,16 +447,20 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train_epoch(self, state: TrainState, loader):
+        from vcrnet_tpu.data.pipeline import prefetch
+
         acc = M.EpochAccumulator()
-        for batch in loader:
-            state, sums = self._train_step(state, self._to_device(batch))
+        for batch in prefetch(loader, self._to_device):
+            state, sums = self._train_step(state, batch)
             acc.add(sums)
         return state, M.summarize(acc)
 
     def eval_epoch(self, state: TrainState, loader):
+        from vcrnet_tpu.data.pipeline import prefetch
+
         acc = M.EpochAccumulator()
-        for batch in loader:
-            sums = self._eval_step(state, self._to_device(batch))
+        for batch in prefetch(loader, self._to_device):
+            sums = self._eval_step(state, batch)
             acc.add(sums)
         return M.summarize(acc)
 
@@ -468,6 +497,7 @@ class Trainer:
             patience = 5 if cfg.model == "dcp" else 10
             sched = ReduceLROnPlateau(initial_lr(cfg), patience=patience)
         best_loss = float("inf")
+        best_sum: dict = {}
         start_epoch = 0
         # resume the scheduler/best-loss trackers (the reference restarts
         # the LR schedule on resume — SURVEY.md §5 checkpoint)
@@ -491,6 +521,7 @@ class Trainer:
             test_loss = test_sum.get(key, test_sum.get("loss", 0.0))
             if test_loss <= best_loss:
                 best_loss = test_loss
+                best_sum = test_sum
                 if checkpoint_dir is not None:
                     from vcrnet_tpu.train.checkpoint import save_checkpoint
 
@@ -503,16 +534,28 @@ class Trainer:
                 {"epoch": epoch, "lr": lr, "train": train_sum, "test": test_sum}
             )
             if metrics_writer is not None:
-                # reference scalar layout (vcrnet_model.py:997-1010)
-                metrics_writer.scalar(
-                    "A->B/train/loss", train_sum.get("loss", 0.0), epoch
+                # full reference scalar matrix (dcp_model.py:727-793) plus
+                # the vcrnet-specific tags (vcrnet_model.py:997-1010)
+                _board_scalars(
+                    metrics_writer, "train",
+                    train_sum.get("loss", 0.0), train_sum, epoch,
+                )
+                _board_scalars(
+                    metrics_writer, "test",
+                    test_sum.get("loss", 0.0), test_sum, epoch,
+                )
+                _board_scalars(
+                    metrics_writer, "best_test", best_loss, best_sum, epoch
                 )
                 metrics_writer.scalar(
-                    "A->B/test/loss", test_sum.get("loss", 0.0), epoch
+                    "A->B/train/lossPose",
+                    train_sum.get("loss_pose", 0.0), epoch,
+                )
+                metrics_writer.scalar(
+                    "A->B/test/lossPose",
+                    test_sum.get("loss_pose", 0.0), epoch,
                 )
                 metrics_writer.scalar("A->B/best_test/lr", lr, epoch)
-                metrics_writer.scalar("A->B/best_test/loss", best_loss, epoch)
-                metrics_writer.scalars("A->B/test", test_sum, epoch)
             log(
                 f"epoch {epoch}: lr={lr:.2e} "
                 f"train_loss={train_sum.get('loss', float('nan')):.6f} "

@@ -62,14 +62,40 @@ def point_sums(a, b, valid):
 
 
 class EpochAccumulator:
-    """Host-side adder of per-batch sum dicts."""
+    """Accumulates per-batch sum dicts WITHOUT a host sync.
+
+    Each ``add`` stacks the batch's device scalars into one vector and folds
+    it into a running device vector — two tiny async dispatches per batch,
+    no blocking. The (blocking) host conversion happens ONCE, lazily, when
+    the sums are read at epoch end. This keeps the epoch loop fully
+    asynchronous: host batch prep overlaps device compute instead of
+    serializing on a ``float()`` of every step's metrics.
+    """
 
     def __init__(self):
-        self.sums = {}
+        self._dev = {}  # running device scalars
+        self._host = None  # cached host dict after the epoch-end fetch
 
     def add(self, sums: dict):
         for k, v in sums.items():
-            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            v = jnp.asarray(v, jnp.float32)
+            prev = self._dev.get(k)
+            self._dev[k] = v if prev is None else prev + v
+        self._host = None
+
+    @property
+    def sums(self) -> dict:
+        if self._host is None:
+            if not self._dev:
+                self._host = {}
+            else:
+                import numpy as np
+
+                keys = list(self._dev.keys())
+                # the one (blocking) host fetch of the epoch
+                vals = np.asarray(jnp.stack([self._dev[k] for k in keys]))
+                self._host = {k: float(v) for k, v in zip(keys, vals)}
+        return self._host
 
     def __getitem__(self, k):
         return self.sums[k]

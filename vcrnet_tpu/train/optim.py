@@ -45,14 +45,19 @@ def initial_lr(cfg: Config) -> float:
 
 
 def set_lr(opt_state, lr: float):
-    """Rebuild an InjectHyperparamsState with a new learning rate."""
-    hp = dict(opt_state.hyperparams)
-    hp["learning_rate"] = lr
-    return opt_state._replace(hyperparams=hp)
+    """Set the injected learning rate through the supported optax tree API
+    (``optax.tree_utils.tree_set``) rather than poking the
+    InjectHyperparamsState namedtuple internals."""
+    import jax.numpy as jnp
+    from optax import tree_utils as otu
+
+    return otu.tree_set(opt_state, learning_rate=jnp.asarray(lr, jnp.float32))
 
 
 def get_lr(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    from optax import tree_utils as otu
+
+    return float(otu.tree_get(opt_state, "learning_rate"))
 
 
 class ReduceLROnPlateau:
