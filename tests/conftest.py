@@ -17,6 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+# never attempt the ModelNet40 auto-download from tests (zero-egress box)
+os.environ.setdefault("VCRNET_OFFLINE", "1")
 
 import jax  # noqa: E402
 

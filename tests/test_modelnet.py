@@ -55,3 +55,77 @@ def test_missing_data_raises():
     cfg = Config(num_points=64, data_dir="/nonexistent")
     with pytest.raises(FileNotFoundError):
         ModelNet40(cfg, "train")
+
+
+class TestAutoDownload:
+    """The reference auto-downloads the zip when missing (util/data.py:16-26);
+    we reproduce that behind a clean offline failure path."""
+
+    def _make_zip(self, tmp_path):
+        import io
+        import zipfile
+        import h5py
+
+        h5_bytes = io.BytesIO()
+        with h5py.File(h5_bytes, "w") as f:
+            f["data"] = np.zeros((4, 16, 3), np.float32)
+            f["label"] = np.zeros((4, 1), np.int64)
+        zpath = tmp_path / "modelnet40_ply_hdf5_2048.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            z.writestr(
+                "modelnet40_ply_hdf5_2048/ply_data_train0.h5",
+                h5_bytes.getvalue(),
+            )
+        return zpath
+
+    def test_download_extracts_zip(self, tmp_path):
+        from vcrnet_tpu.data.modelnet40 import try_download
+
+        zpath = self._make_zip(tmp_path)
+        root = tmp_path / "dataset"
+        out = try_download(str(root), url=f"file://{zpath}")
+        assert out is not None
+        data, label = load_h5(out, "train")
+        assert data.shape == (4, 16, 3)
+        # idempotent: existing dir short-circuits (no fetch)
+        assert try_download(str(root), url="file:///nonexistent") == out
+
+    def test_download_failure_returns_none(self, tmp_path):
+        from vcrnet_tpu.data.modelnet40 import try_download
+
+        root = tmp_path / "dataset"
+        assert try_download(
+            str(root), url=f"file://{tmp_path}/missing.zip"
+        ) is None
+        # no stray temp files left behind
+        assert not any(root.glob("*.zip")) if root.exists() else True
+
+    def test_resolve_respects_offline(self, monkeypatch, tmp_path):
+        from vcrnet_tpu.data import modelnet40 as m
+
+        monkeypatch.setenv("VCRNET_OFFLINE", "1")
+        monkeypatch.delenv("VCRNET_DATA", raising=False)
+        monkeypatch.setattr(m, "_download_attempted", False)
+        monkeypatch.setattr(m, "default_data_root", lambda: str(tmp_path))
+        called = []
+        monkeypatch.setattr(m, "try_download", lambda *a, **k: called.append(1))
+        assert m.resolve_data_dir(Config(num_points=64)) is None
+        assert not called
+
+    def test_resolve_attempts_download_once(self, monkeypatch, tmp_path):
+        from vcrnet_tpu.data import modelnet40 as m
+
+        monkeypatch.delenv("VCRNET_OFFLINE", raising=False)
+        monkeypatch.delenv("VCRNET_DATA", raising=False)
+        monkeypatch.setattr(m, "_download_attempted", False)
+        monkeypatch.setattr(m, "default_data_root", lambda: str(tmp_path))
+        calls = []
+
+        def fake_download(*a, **k):
+            calls.append(1)
+            return None
+
+        monkeypatch.setattr(m, "try_download", fake_download)
+        assert m.resolve_data_dir(Config(num_points=64)) is None
+        assert m.resolve_data_dir(Config(num_points=64)) is None
+        assert len(calls) == 1  # one attempt per process

@@ -1,10 +1,13 @@
 """ModelNet40 HDF5 dataset (reference util/data.py:16-47, 224-317).
 
-Reads ``ply_data_{train,test}*.h5`` from a data directory (no auto-download
-here — this environment has no egress; point ``cfg.data_dir`` or
-$VCRNET_DATA at an existing ``modelnet40_ply_hdf5_2048`` directory). Supports
-the unseen-category split (categories >= 20 test / < 20 train,
-reference data.py:238-245).
+Reads ``ply_data_{train,test}*.h5`` from a data directory. Resolution order:
+``cfg.data_dir``, then ``$VCRNET_DATA``, then ``<repo>/dataset`` — and when
+none exists, ONE auto-download attempt of the reference's zip (reference
+util/data.py:16-26, via urllib instead of ``os.system(wget)``) unless
+``$VCRNET_OFFLINE`` is set. A failed attempt (this environment has no
+egress) degrades cleanly: callers get ``None`` and fall back to the
+synthetic pipeline. Supports the unseen-category split (categories >= 20
+test / < 20 train, reference data.py:238-245).
 """
 
 from __future__ import annotations
@@ -17,13 +20,70 @@ import numpy as np
 from vcrnet_tpu.config import Config
 from vcrnet_tpu.data.augment import RegistrationPair, make_pair_from_cloud
 
+# reference util/data.py:22
+MODELNET40_URL = (
+    "https://shapenet.cs.stanford.edu/media/modelnet40_ply_hdf5_2048.zip"
+)
+
+_download_attempted = False  # one network attempt per process
+
+
+def default_data_root() -> str:
+    """<repo>/dataset — the reference keeps the dataset beside the repo
+    (util/data.py:17-18)."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(pkg), "dataset")
+
+
+def try_download(
+    data_root: str | None = None,
+    url: str = MODELNET40_URL,
+    timeout: float = 30.0,
+) -> str | None:
+    """Attempt the reference's auto-download (util/data.py:16-26). Returns
+    the extracted ``modelnet40_ply_hdf5_2048`` directory on success, None on
+    ANY failure — offline is the normal case here, not an error."""
+    root = data_root or default_data_root()
+    target = os.path.join(root, "modelnet40_ply_hdf5_2048")
+    if os.path.isdir(target):
+        return target
+    import shutil
+    import tempfile
+    import urllib.request
+    import zipfile
+
+    tmp_path = None
+    try:
+        os.makedirs(root, exist_ok=True)
+        with tempfile.NamedTemporaryFile(
+            suffix=".zip", dir=root, delete=False
+        ) as tmp:
+            tmp_path = tmp.name
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                shutil.copyfileobj(resp, tmp)
+        with zipfile.ZipFile(tmp_path) as z:
+            z.extractall(root)
+        return target if os.path.isdir(target) else None
+    except Exception:
+        return None
+    finally:
+        if tmp_path is not None and os.path.exists(tmp_path):
+            os.remove(tmp_path)
+
 
 def resolve_data_dir(cfg: Config) -> str | None:
+    global _download_attempted
     cand = cfg.data_dir or os.environ.get("VCRNET_DATA")
-    if cand is None:
+    if cand is not None:
+        sub = os.path.join(cand, "modelnet40_ply_hdf5_2048")
+        return sub if os.path.isdir(sub) else cand
+    default = os.path.join(default_data_root(), "modelnet40_ply_hdf5_2048")
+    if os.path.isdir(default):
+        return default
+    if os.environ.get("VCRNET_OFFLINE") or _download_attempted:
         return None
-    sub = os.path.join(cand, "modelnet40_ply_hdf5_2048")
-    return sub if os.path.isdir(sub) else cand
+    _download_attempted = True
+    return try_download()
 
 
 def load_h5(data_dir: str, partition: str):
