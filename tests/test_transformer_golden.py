@@ -20,10 +20,13 @@ from vcrnet_tpu.train.checkpoint import (
 D, H, FF = 64, 4, 128
 
 
-def make_reference_state_dict(rng, n_blocks=1, prefix="pointer.model."):
+def make_reference_state_dict(
+    rng, n_blocks=1, prefix="pointer.model.", d=D, ff=FF
+):
     """Random weights in the reference's exact key layout."""
     sd = {}
 
+    D, FF = d, ff
     def lin(key, din, dout):
         sd[f"{key}.weight"] = torch.tensor(
             rng.randn(dout, din).astype(np.float32) * 0.05
@@ -61,9 +64,14 @@ def make_reference_state_dict(rng, n_blocks=1, prefix="pointer.model."):
 class TorchMirror:
     """Functional torch mirror of reference transformer.py semantics."""
 
-    def __init__(self, sd, prefix="pointer.model."):
+    def __init__(
+        self, sd, prefix="pointer.model.", d=D, h=H, overlap2=None
+    ):
         self.sd = sd
         self.p = prefix
+        self.d = d
+        self.h = h
+        self.overlap2 = overlap2  # partial re-mask in decoder src_attn
 
     def norm(self, x, key):
         a, b = self.sd[f"{key}.a_2"], self.sd[f"{key}.b_2"]
@@ -74,7 +82,8 @@ class TorchMirror:
     def linear(self, x, key):
         return x @ self.sd[f"{key}.weight"].T + self.sd[f"{key}.bias"]
 
-    def mha(self, q_in, k_in, v_in, key):
+    def mha(self, q_in, k_in, v_in, key, remask=False):
+        D, H = self.d, self.h
         B, N, _ = q_in.shape
         dk = D // H
         q = self.linear(q_in, f"{key}.linears.0").view(B, -1, H, dk).transpose(1, 2)
@@ -82,6 +91,15 @@ class TorchMirror:
         v = self.linear(v_in, f"{key}.linears.2").view(B, -1, H, dk).transpose(1, 2)
         scores = q @ k.transpose(-2, -1) / np.sqrt(dk)
         p = F.softmax(scores, dim=-1)
+        if remask and self.overlap2 is not None:
+            # reference transformer.py:36-53 (is_src partial branch)
+            Nk = k.size(2)
+            col = torch.sum(p, dim=[1, 2])  # [B, Nk]
+            keep = col.topk(k=int(Nk * self.overlap2), dim=-1)[1]
+            mask = torch.zeros((B, Nk), dtype=torch.bool)
+            mask.scatter_(1, keep, True)
+            scores = scores.masked_fill(~mask[:, None, None, :], -1e9)
+            p = F.softmax(scores, dim=-1)
         x = (p @ v).transpose(1, 2).contiguous().view(B, -1, D)
         return self.linear(x, f"{key}.linears.3")
 
@@ -101,7 +119,7 @@ class TorchMirror:
         y = self.norm(x, f"{d}sublayer.0.norm")
         x = x + self.mha(y, y, y, f"{d}self_attn")
         y = self.norm(x, f"{d}sublayer.1.norm")
-        x = x + self.mha(y, memory, memory, f"{d}src_attn")
+        x = x + self.mha(y, memory, memory, f"{d}src_attn", remask=True)
         y = self.norm(x, f"{d}sublayer.2.norm")
         x = x + self.ff(y, f"{d}feed_forward")
         return self.norm(x, f"{self.p}decoder.norm")
