@@ -1,0 +1,182 @@
+"""Point-sharded (sequence-parallel) MODEL forwards.
+
+point_sharding.py provides the sharded primitives; this module wires them
+into full model paths so clouds beyond one chip's HBM run end-to-end:
+
+  lpdnet_embed_sp    — the complete LPDNet embedding (reference
+                       lpdnet_model.py:103-137, same math as
+                       models/embeddings.LPDNet's XLA path) with the POINT
+                       axis sharded over the mesh. Each device owns N/D
+                       points; the kNN key sets and neighbor tables are
+                       all-gathered over ICI while every O(N^2/D) score
+                       block and all per-point matmuls stay local.
+  register_whole_sp  — whole-mode registration with the identity pointer
+                       (reference --pointer identity path,
+                       vcrnet_model.py:477-482): sharded embed -> sharded
+                       soft correspondence (getCopairALL semantics,
+                       vcrnet_model.py:334-347) -> Procrustes solved from
+                       psum'd sufficient statistics (mean/covariance), so
+                       the solve itself never materialises the full cloud
+                       on any device.
+
+Numerics match the single-device model; tested for equality on the 8-device
+CPU mesh (tests/test_point_sharding.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from vcrnet_tpu.ops import graph as _g
+from vcrnet_tpu.geometry import _svd_rotation
+from vcrnet_tpu.parallel.point_sharding import _points_spec, shard_points
+
+
+def _leaky(v, slope: float):
+    return jnp.where(v >= 0, v, v * slope)
+
+
+def _dense(p, v):
+    return v @ p["kernel"] + p["bias"]
+
+
+def _local_knn(queries, keys_full, k: int, axis_name: str = "data"):
+    """k nearest keys (self excluded) for a local query shard against the
+    full key set. Returns GLOBAL indices [B, n_local, k]."""
+    scores = _g.neg_pairwise_sqdist(queries, keys_full)  # [B, n_loc, N]
+    shard = jax.lax.axis_index(axis_name)
+    n_local = queries.shape[1]
+    row_g = (
+        jax.lax.broadcasted_iota(jnp.int32, scores.shape[1:], 0)
+        + shard * n_local
+    )
+    col_g = jax.lax.broadcasted_iota(jnp.int32, scores.shape[1:], 1)
+    scores = jnp.where((row_g == col_g)[None], -jnp.inf, scores)
+    _, idx = jax.lax.top_k(scores, k)
+    return idx
+
+
+def lpdnet_embed_sp(
+    emb_params: dict,
+    x: jax.Array,
+    mesh: Mesh,
+    k: int = 20,
+    negative_slope: float = 0.0,
+) -> jax.Array:
+    """Point-sharded LPDNet forward: x [B, N, 3] (point axis sharded over
+    'data') -> [B, N, emb_dims], sharded the same way.
+
+    ``emb_params`` is the flax LPDNet param tree (models/embeddings.py) —
+    the same checkpoint drives both the single-device and the sharded path.
+    Per-shard comms: 3 all-gathers ([B,N,64] features, [B,N,128] + [B,N,256]
+    neighbor tables) + 1 of xyz — O(N) bytes over ICI vs O(N^2/D) local
+    score FLOPs.
+    """
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(_points_spec(),), out_specs=_points_spec(),
+    )
+    def f(x_local):
+        act = lambda v: _leaky(v, negative_slope)
+        x0 = x_local
+        feat = act(_dense(emb_params["conv1_lpd"], x_local))
+        feat = act(_dense(emb_params["conv2_lpd"], feat))
+
+        # dynamic graph in feature space (reference convDG1/convDG2),
+        # decomposed form: W @ [neighbor; center] = a[j] + h[i]
+        kdg = emb_params["convDG1"]["kernel"]
+        c = feat.shape[-1]
+        a_loc = feat @ kdg[:c]
+        h_loc = feat @ kdg[c:] + emb_params["convDG1"]["bias"]
+        feat_full = jax.lax.all_gather(feat, "data", axis=1, tiled=True)
+        a_full = jax.lax.all_gather(a_loc, "data", axis=1, tiled=True)
+        idx_f = _local_knn(feat, feat_full, k)
+        z = act(_g.gather_neighbors(a_full, idx_f) + h_loc[:, :, None, :])
+        x1 = z.max(axis=2)
+        z = act(
+            z @ emb_params["convDG2"]["kernel"]
+            + emb_params["convDG2"]["bias"]
+        )
+        x2 = z.max(axis=2)
+
+        # spatial neighborhood fusion on ORIGINAL xyz (reference convSN1),
+        # fused to gather-max by monotonicity of leaky_relu
+        ksn = emb_params["convSN1"]["kernel"]
+        c2 = x2.shape[-1]
+        a2_loc = x2 @ ksn[:c2]
+        h2_loc = x2 @ ksn[c2:] + emb_params["convSN1"]["bias"]
+        x_full = jax.lax.all_gather(x0, "data", axis=1, tiled=True)
+        a2_full = jax.lax.all_gather(a2_loc, "data", axis=1, tiled=True)
+        idx_s = _local_knn(x0, x_full, k)
+        x3 = act(_g.gather_neighbors(a2_full, idx_s).max(axis=2) + h2_loc)
+
+        cat = jnp.concatenate([x1, x2, x3], axis=-1)
+        return act(_dense(emb_params["conv3_lpd"], cat))
+
+    return f(x)
+
+
+def register_whole_sp(
+    params: dict,
+    src: jax.Array,
+    tgt: jax.Array,
+    mesh: Mesh,
+    k: int = 20,
+    negative_slope: float = 0.0,
+):
+    """Whole-mode registration with the identity pointer, fully
+    point-sharded: returns (R_ab [B,3,3], t_ab [B,3]) replicated, plus the
+    (sharded) virtual correspondences.
+
+    ``params`` is a VCRNet param tree (uses params['emb_nn']). The
+    Procrustes solve runs on psum'd sufficient statistics: each device
+    contributes its shard's mean/covariance partial sums; only the 3x3
+    solve is (redundantly) replicated.
+    """
+    emb = params["emb_nn"]
+    se = lpdnet_embed_sp(emb, src, mesh, k=k, negative_slope=negative_slope)
+    te = lpdnet_embed_sp(emb, tgt, mesh, k=k, negative_slope=negative_slope)
+
+    n_total = src.shape[1]
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            _points_spec(), _points_spec(), _points_spec(), _points_spec(),
+        ),
+        out_specs=(_points_spec(), P(None, None, None), P(None, None)),
+        check_rep=False,  # psum'd outputs are replicated by construction
+    )
+    def f(se_l, te_l, src_l, tgt_l):
+        te_full = jax.lax.all_gather(te_l, "data", axis=1, tiled=True)
+        tg_full = jax.lax.all_gather(tgt_l, "data", axis=1, tiled=True)
+        # getCopairALL: softmax over ALL target points per local source row
+        scores = jax.nn.softmax(
+            _g.neg_pairwise_sqdist(se_l, te_full), axis=2
+        )
+        corr_l = jnp.einsum("bnm,bmc->bnc", scores, tg_full)
+
+        # Procrustes from psum'd statistics
+        sum_src = jax.lax.psum(src_l.sum(axis=1), "data")  # [B, 3]
+        sum_corr = jax.lax.psum(corr_l.sum(axis=1), "data")
+        mean_src = sum_src / n_total
+        mean_corr = sum_corr / n_total
+        H = jax.lax.psum(
+            jnp.einsum(
+                "bni,bnj->bij",
+                src_l - mean_src[:, None, :],
+                corr_l - mean_corr[:, None, :],
+            ),
+            "data",
+        )
+        R = _svd_rotation(H)
+        t = mean_corr - jnp.einsum("bij,bj->bi", R, mean_src)
+        return corr_l, R, t
+
+    return f(se, te, src, tgt)
