@@ -149,12 +149,13 @@ class LPDNet(nn.Module):
             )(x, train=train)
             x = jnp.einsum("bnc,bcd->bnd", x, trans, precision=self.precision)
 
-        # fully-fused Pallas eval path: kNN + neighbor combine in VMEM
-        # (forward-only kernels; training uses the differentiable XLA
-        # formulation below — identical math)
+        # fully-fused Pallas path: kNN + neighbor combine in VMEM. Used for
+        # BOTH eval and training — the ops carry custom-VJP Pallas backward
+        # kernels (see ops/pallas_edgeconv.py), so no [B, N, k, F] edge
+        # tensor is materialised in either direction. The XLA formulation
+        # below is the same math (used off-TPU / float32-exact paths).
         use_fused = (
-            not train
-            and self.dtype == jnp.bfloat16
+            self.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
             and x.shape[1] % 8 == 0  # Mosaic sublane tiling constraint
         )

@@ -1,6 +1,6 @@
-"""Fused kNN + edge-conv Pallas kernels (eval fast path).
+"""Fused kNN + edge-conv Pallas kernels with custom-VJP backward kernels.
 
-Two kernels that extend the fused-kNN loop (see pallas_knn.py) with in-VMEM
+Two ops that extend the fused-kNN loop (see pallas_knn.py) with in-VMEM
 neighbor combination, so neither the [B, N, N] scores, the [B, N, k] index
 tensor, nor any [B, N, k, F] gathered edge tensor ever reaches HBM:
 
@@ -12,9 +12,17 @@ tensor, nor any [B, N, k, F] gathered edge tensor ever reaches HBM:
                          out[i] = max_{j in knn(i)} values[j]
 
 The per-iteration neighbor "gather" is a one-hot matmul against the
-VMEM-resident value table — MXU work, no dynamic addressing. Forward-only:
-the training path uses the differentiable XLA formulation in
-models/embeddings.py (identical math).
+VMEM-resident value table — MXU work, no dynamic addressing.
+
+Backward (custom_vjp, used by the TRAINING path): the forward additionally
+emits its selection indices ([B, N, k] int32); the backward kernel
+turns all k selections into ONE [k*TQ, N] one-hot per query tile and runs
+the whole VJP as a handful of large MXU matmuls (gather, z@w2, z^T@dp,
+dp@w2^T, and the scatter onehot^T@dq) — no score recompute, no serial
+argmax chain, and no [B, N, k, F] edge tensor in HBM in either direction.
+Max winners are identified by value-match against the saved outputs (first
+match claims, torch argmax semantics). kNN indices carry zero gradient,
+matching torch.topk (reference util/util.py:143-160).
 """
 
 from __future__ import annotations
@@ -43,7 +51,7 @@ def _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q):
 
 def _edge_conv_kernel(
     x_q_ref, x_k_ref, norms_ref, a_ref, h_ref, w2_ref, b2_ref,
-    x1_ref, x2_ref, *, k: int, tile_q: int, slope: float,
+    x1_ref, x2_ref, idx_ref, *, k: int, tile_q: int, slope: float,
 ):
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
     a_full = a_ref[0]  # [N, F]
@@ -55,14 +63,15 @@ def _edge_conv_kernel(
     neg_inf = jnp.float32(-jnp.inf)
     h32 = h.astype(jnp.float32)
     b32 = b2.astype(jnp.float32)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
 
     def leaky(v):
         return jnp.where(v >= 0, v, v * slope)
 
     # fori_loop, not a python unroll: keeps the Mosaic program (and its
     # compile time) independent of k
-    def body(_, carry):
-        scores, x1, x2 = carry
+    def body(j, carry):
+        scores, x1, x2, idx = carry
         amax = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
         sel = col_ids == amax[:, None]
         scores = jnp.where(sel, neg_inf, scores)
@@ -77,41 +86,215 @@ def _edge_conv_kernel(
             + b32
         )
         x2 = jnp.maximum(x2, y)
-        return scores, x1, x2
+        # record the selection (consumed by the backward)
+        idx = jnp.where(k_ids == j, amax[:, None], idx)
+        return scores, x1, x2, idx
 
     init = (
         scores,
         jnp.full((tile_q, f), neg_inf, jnp.float32),
         jnp.full((tile_q, f), neg_inf, jnp.float32),
+        jnp.zeros((tile_q, k), jnp.int32),
     )
-    _, x1, x2 = jax.lax.fori_loop(0, k, body, init)
+    _, x1, x2, idx = jax.lax.fori_loop(0, k, body, init)
 
     x1_ref[0] = x1.astype(x1_ref.dtype)
     x2_ref[0] = x2.astype(x2_ref.dtype)
+    idx_ref[0] = idx
 
 
 def _gather_max_kernel(
-    x_q_ref, x_k_ref, norms_ref, v_ref, out_ref, *, k: int, tile_q: int
+    x_q_ref, x_k_ref, norms_ref, v_ref, out_ref, idx_ref,
+    *, k: int, tile_q: int,
 ):
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
     values = v_ref[0]  # [N, F]
     f = values.shape[-1]
     neg_inf = jnp.float32(-jnp.inf)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
 
-    def body(_, carry):
-        scores, gmax = carry
+    def body(j, carry):
+        scores, gmax, idx = carry
         amax = jnp.argmax(scores, axis=1).astype(jnp.int32)
         sel = col_ids == amax[:, None]
         scores = jnp.where(sel, neg_inf, scores)
         onehot = sel.astype(values.dtype)
         g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
         gmax = jnp.maximum(gmax, g)
-        return scores, gmax
+        idx = jnp.where(k_ids == j, amax[:, None], idx)
+        return scores, gmax, idx
 
-    init = (scores, jnp.full((tile_q, f), neg_inf, jnp.float32))
-    _, gmax = jax.lax.fori_loop(0, k, body, init)
+    init = (
+        scores,
+        jnp.full((tile_q, f), neg_inf, jnp.float32),
+        jnp.zeros((tile_q, k), jnp.int32),
+    )
+    _, gmax, idx = jax.lax.fori_loop(0, k, body, init)
 
     out_ref[0] = gmax.astype(out_ref.dtype)
+    idx_ref[0] = idx
+
+
+def _claim_first(vals_kmaj, target32, out_dt, tile_q: int, k: int):
+    """First value-match along k claims the cotangent (torch argmax
+    semantics). vals_kmaj [k*TQ, F] f32 in k-major row order; target32
+    [TQ, F] f32 (the forward's saved max, cast back from the output dtype).
+    Returns a {0,1} float mask [k*TQ, F]. Static python loop over k: 2k
+    elementwise [TQ, F] ops, no serial matmul/argmax chain. The comparison
+    runs in f32 lanes (bf16 i1 masks hit Mosaic relayout limits)."""
+    takes = []
+    rem = jnp.ones(target32.shape, jnp.float32)
+    for j in range(k):
+        vj = vals_kmaj[j * tile_q:(j + 1) * tile_q]
+        vj_cast = vj.astype(out_dt).astype(jnp.float32)
+        t = jnp.where(vj_cast == target32, jnp.float32(1.0), 0.0) * rem
+        rem = rem - t
+        takes.append(t)
+    return jnp.concatenate(takes, axis=0)
+
+
+def _kmajor_broadcast(x, k: int):
+    """[TQ, F] -> [k*TQ, F] repeating the tile k times (k-major rows)."""
+    return jnp.concatenate([x] * k, axis=0)
+
+
+def _kmajor_onehot(idx, n: int, k: int, tile_q: int, dtype):
+    """idx [TQ, k] int32 -> one-hot [k*TQ, N] in k-major row order, built
+    from k static slice-compares (no reshapes Mosaic can't lay out)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, n), 1)
+    rows = [
+        (col == idx[:, j:j + 1]).astype(dtype) for j in range(k)
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _edge_conv_bwd_kernel(
+    idx_ref, a_ref, h_ref, w2_ref, b2_ref,
+    x1_ref, x2_ref, ct1_ref, ct2_ref,
+    da_ref, dh_ref, dw2_ref, db2_ref,
+    *, k: int, tile_q: int, slope: float, n: int,
+):
+    """Backward of _edge_conv_kernel, batched over k.
+
+    Consumes the forward's saved neighbor indices ([TQ, k]), so
+    there is NO score recompute and NO serial argmax chain: the k neighbor
+    selections become ONE [k*TQ, N] one-hot whose matmuls (gather, z@w2,
+    z^T@dp, dp@w2^T, onehot^T@dq — the scatter) each run as a single large
+    MXU op per tile. z/y are recomputed in VMEM from the indices (exact:
+    same one-hot-gather + f32 ops as the forward), and the max winners are
+    identified by value-match against the saved outputs (first match
+    claims, torch argmax semantics)."""
+    idx = idx_ref[0]  # [TQ, k] int32
+    a_full = a_ref[0]  # [N, F]
+    h = h_ref[0]  # [TQ, F]
+    w2 = w2_ref[:]  # [F, F]
+    b2 = b2_ref[0]  # [F]
+    x1_32 = x1_ref[0].astype(jnp.float32)  # [TQ, F]
+    x2_32 = x2_ref[0].astype(jnp.float32)
+    ct1 = ct1_ref[0].astype(jnp.float32)
+    ct2 = ct2_ref[0].astype(jnp.float32)
+
+    f = a_full.shape[-1]
+    tqk = k * tile_q
+    h32 = h.astype(jnp.float32)
+    b32 = b2.astype(jnp.float32)
+    out_dt = x1_ref.dtype
+    one = jnp.float32(1.0)
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, v * slope)
+
+    def dleaky(post):  # leaky' from the post-activation sign
+        return jnp.where(post > 0, one, jnp.float32(slope))
+
+    # one-hot of ALL k selections at once: [k*TQ, N]
+    onehot = _kmajor_onehot(idx, n, k, tile_q, a_full.dtype)
+    g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
+    h_rep = _kmajor_broadcast(h32, k)
+    z = leaky(g + h_rep)  # [k*TQ, F], same ops as the forward
+    y = leaky(
+        jnp.dot(z.astype(w2.dtype), w2, preferred_element_type=jnp.float32)
+        + b32
+    )
+
+    take1 = _claim_first(z, x1_32, out_dt, tile_q, k)
+    take2 = _claim_first(y, x2_32, out_dt, tile_q, k)
+
+    dp = take2 * _kmajor_broadcast(ct2, k) * dleaky(y)
+    dw2 = jax.lax.dot_general(
+        z, dp, (((0,), (0,)), ((), ())),  # z^T @ dp -> [F, F]
+        preferred_element_type=jnp.float32,
+    )
+    db2 = dp.sum(axis=0)
+    dz = take1 * _kmajor_broadcast(ct1, k) + jax.lax.dot_general(
+        dp.astype(w2.dtype), w2, (((1,), (1,)), ((), ())),  # dp @ w2^T
+        preferred_element_type=jnp.float32,
+    )
+    dq = dz * dleaky(z)  # [k*TQ, F] pre-activation grad of z
+    da = jax.lax.dot_general(
+        onehot, dq.astype(a_full.dtype),
+        (((0,), (0,)), ((), ())),  # onehot^T @ dq: the scatter, one matmul
+        preferred_element_type=jnp.float32,
+    )
+    dh = dq[0:tile_q]
+    for j in range(1, k):
+        dh = dh + dq[j * tile_q:(j + 1) * tile_q]
+
+    dh_ref[0] = dh
+    i = pl.program_id(1)
+    first_tile = i == 0
+    first_all = (pl.program_id(0) == 0) & first_tile
+
+    @pl.when(first_tile)
+    def _():
+        da_ref[0] = da
+
+    @pl.when(jnp.logical_not(first_tile))
+    def _():
+        da_ref[0] = da_ref[0] + da
+
+    @pl.when(first_all)
+    def _():
+        dw2_ref[:] = dw2
+        db2_ref[0] = db2
+
+    @pl.when(jnp.logical_not(first_all))
+    def _():
+        dw2_ref[:] = dw2_ref[:] + dw2
+        db2_ref[0] = db2_ref[0] + db2
+
+
+def _gather_max_bwd_kernel(
+    idx_ref, v_ref, out_ref, ct_ref, dv_ref,
+    *, k: int, tile_q: int, n: int,
+):
+    """Backward of _gather_max_kernel, batched over k (see
+    _edge_conv_bwd_kernel): dvalues[n] += ct[i] where n won query i's
+    channel-wise max (first value-match claims)."""
+    idx = idx_ref[0]  # [TQ, k]
+    values = v_ref[0]  # [N, F]
+    out32 = out_ref[0].astype(jnp.float32)  # [TQ, F]
+    ct = ct_ref[0].astype(jnp.float32)
+    out_dt = out_ref.dtype
+
+    onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
+    g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
+    take = _claim_first(g, out32, out_dt, tile_q, k)
+    dv = jax.lax.dot_general(
+        onehot, (take * _kmajor_broadcast(ct, k)).astype(values.dtype),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dv_ref[0] = dv
+
+    @pl.when(i != 0)
+    def _():
+        dv_ref[0] = dv_ref[0] + dv
 
 
 def _norms(x):
@@ -131,7 +314,96 @@ def fused_edge_conv(
     tile_q: int = 128, interpret: bool = False,
 ):
     """x [B,N,C] (distance space), a/h [B,N,F], w2 [F,F], b2 [F]
-    -> (x1, x2) each [B, N, F] in a's dtype."""
+    -> (x1, x2) each [B, N, F] in a's dtype.
+
+    Differentiable: custom VJP with a Pallas backward kernel (grads wrt
+    a, h, w2, b2; x gets zeros — kNN indices carry no gradient, like
+    torch.topk)."""
+    return _fused_edge_conv_vjp(
+        x, a, h, w2, b2, k, negative_slope, tile_q, interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_edge_conv_vjp(x, a, h, w2, b2, k, negative_slope, tile_q, interpret):
+    x1, x2, _ = _fused_edge_conv_fwd_impl(
+        x, a, h, w2, b2, k, negative_slope, tile_q, interpret
+    )
+    return x1, x2
+
+
+def _fused_edge_conv_fwd(x, a, h, w2, b2, k, negative_slope, tile_q, interpret):
+    x1, x2, idx = _fused_edge_conv_fwd_impl(
+        x, a, h, w2, b2, k, negative_slope, tile_q, interpret
+    )
+    # zeros_like(x) residual: a free broadcast after DCE, returned as x's
+    # (identically zero) cotangent — kNN indices carry no gradient
+    return (x1, x2), (idx, a, h, w2, b2, x1, x2, jnp.zeros_like(x))
+
+
+def _fused_edge_conv_bwd(k, negative_slope, tile_q, interpret, res, cts):
+    idx, a, h, w2, b2, x1, x2, zero_x = res
+    ct1, ct2 = cts
+    B, N, F = a.shape
+    tile_q = _pick_tile(N, tile_q)
+    kernel = functools.partial(
+        _edge_conv_bwd_kernel, k=k, tile_q=tile_q, slope=negative_slope, n=N
+    )
+    tile_spec = lambda f: pl.BlockSpec(
+        (1, tile_q, f), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    full_spec = lambda f: pl.BlockSpec(
+        (1, N, f), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    da, dh, dw2, db2 = pl.pallas_call(
+        kernel,
+        grid=(B, N // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),  # saved indices
+            full_spec(F),                      # a (full table)
+            tile_spec(F),                      # h
+            pl.BlockSpec((F, F), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec(F),                      # x1
+            tile_spec(F),                      # x2
+            tile_spec(F),                      # ct1
+            tile_spec(F),                      # ct2
+        ],
+        out_specs=[
+            full_spec(F),                      # da, accumulated over tiles
+            tile_spec(F),                      # dh
+            pl.BlockSpec((F, F), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((F, F), jnp.float32),
+            jax.ShapeDtypeStruct((1, F), jnp.float32),
+        ],
+        interpret=interpret,
+    )(idx, a, h, w2, b2.reshape(1, F), x1, x2, ct1, ct2)
+    return (
+        zero_x,
+        da.astype(a.dtype),
+        dh.astype(h.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(F).astype(b2.dtype),
+    )
+
+
+_fused_edge_conv_vjp.defvjp(_fused_edge_conv_fwd, _fused_edge_conv_bwd)
+
+
+def _fused_edge_conv_fwd_impl(
+    x, a, h, w2, b2, k: int, negative_slope: float,
+    tile_q: int, interpret: bool,
+):
     B, N, C = x.shape
     F = a.shape[-1]
     tile_q = _pick_tile(N, tile_q)
@@ -139,6 +411,8 @@ def fused_edge_conv(
         _edge_conv_kernel, k=k, tile_q=tile_q, slope=negative_slope
     )
     out_sds = jax.ShapeDtypeStruct((B, N, F), a.dtype)
+    # selection indices [B, N, k] (consumed by the backward)
+    idx_sds = jax.ShapeDtypeStruct((B, N, k), jnp.int32)
     b2_2d = b2.reshape(1, F)
     return pl.pallas_call(
         kernel,
@@ -164,8 +438,10 @@ def fused_edge_conv(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_shape=[out_sds, out_sds],
+        out_shape=[out_sds, out_sds, idx_sds],
         interpret=interpret,
     )(x, x, _norms(x), a, h, w2, b2_2d)
 
@@ -175,11 +451,64 @@ def fused_knn_gather_max(
 ):
     """x [B,N,C] (distance space), values [B,N,F]
     -> [B, N, F]: per point, channel-wise max of values over its k nearest
-    neighbors in x-space (self excluded)."""
+    neighbors in x-space (self excluded).
+
+    Differentiable wrt ``values`` via a Pallas backward kernel (x gets
+    zeros — kNN indices carry no gradient)."""
+    return _fused_gather_max_vjp(x, values, k, tile_q, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_gather_max_vjp(x, values, k, tile_q, interpret):
+    out, _ = _fused_gather_max_impl(x, values, k, tile_q, interpret)
+    return out
+
+
+def _fused_gather_max_fwd(x, values, k, tile_q, interpret):
+    out, idx = _fused_gather_max_impl(x, values, k, tile_q, interpret)
+    return out, (idx, values, out, jnp.zeros_like(x))
+
+
+def _fused_gather_max_bwd(k, tile_q, interpret, res, ct):
+    idx, values, out, zero_x = res
+    B, N, F = values.shape
+    tile_q = _pick_tile(N, tile_q)
+    kernel = functools.partial(
+        _gather_max_bwd_kernel, k=k, tile_q=tile_q, n=N
+    )
+    dv = pl.pallas_call(
+        kernel,
+        grid=(B, N // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),  # saved indices
+            pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N, F), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+        interpret=interpret,
+    )(idx, values, out, ct)
+    return zero_x, dv.astype(values.dtype)
+
+
+_fused_gather_max_vjp.defvjp(_fused_gather_max_fwd, _fused_gather_max_bwd)
+
+
+def _fused_gather_max_impl(
+    x, values, k: int, tile_q: int, interpret: bool
+):
     B, N, C = x.shape
     F = values.shape[-1]
     tile_q = _pick_tile(N, tile_q)
     kernel = functools.partial(_gather_max_kernel, k=k, tile_q=tile_q)
+    idx_sds = jax.ShapeDtypeStruct((B, N, k), jnp.int32)
     return pl.pallas_call(
         kernel,
         grid=(B, N // tile_q),
@@ -193,9 +522,15 @@ def fused_knn_gather_max(
             pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile_q, F), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, N, F), values.dtype),
+        out_specs=[
+            pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, F), values.dtype),
+            idx_sds,
+        ],
         interpret=interpret,
     )(x, x, _norms(x), values)
