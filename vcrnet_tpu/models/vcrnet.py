@@ -147,9 +147,19 @@ class VCRNet(nn.Module):
         src_emb: jax.Array,
         tgt_emb: jax.Array,
         train: bool = False,
+        tgt_memory: jax.Array | None = None,
     ):
-        """pointer -> VCP -> SVD on precomputed embeddings."""
-        return self._register(src, tgt, src_emb, tgt_emb, train)
+        """pointer -> VCP -> SVD on precomputed embeddings. ``tgt_memory``
+        optionally supplies a cached encoder pass over tgt_emb (exact: the
+        target embedding never changes across refinement iterations)."""
+        return self._register(
+            src, tgt, src_emb, tgt_emb, train, tgt_memory=tgt_memory
+        )
+
+    def encode_target(self, tgt_emb: jax.Array) -> jax.Array:
+        """The pointer's encoder pass over the target embedding — cacheable
+        across eval refinement iterations (see vcrnet_iter)."""
+        return self.pointer.encode_memory(tgt_emb)
 
     def __call__(self, src: jax.Array, tgt: jax.Array, train: bool = False):
         # embed both clouds in ONE call (stacked on the batch axis): halves
@@ -167,9 +177,11 @@ class VCRNet(nn.Module):
             tgt_emb = self.emb_nn(tgt, train=train)
         return self._register(src, tgt, src_emb, tgt_emb, train)
 
-    def _register(self, src, tgt, src_emb, tgt_emb, train):
+    def _register(self, src, tgt, src_emb, tgt_emb, train, tgt_memory=None):
         if self.pointer is not None:
-            src_delta, tgt_delta = self.pointer(src_emb, tgt_emb)
+            src_delta, tgt_delta = self.pointer(
+                src_emb, tgt_emb, tgt_memory=tgt_memory
+            )
             src_emb = src_emb + src_delta
             tgt_emb = tgt_emb + tgt_delta
 
@@ -190,26 +202,30 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     vcrnet_model.py:21-43): re-run the net on the transformed source and
     compose. n_iter is static (small), so a python loop unrolls under jit.
 
-    When ``model`` is given, the target embedding is computed ONCE and
-    cached across iterations — the target never changes, so this is exact
-    (the reference re-embeds it every pass), and cuts per-extra-iteration
-    cost by the full target-embedding time.
+    When ``model`` is given, the target embedding AND the pointer's encoder
+    pass over it are computed ONCE and cached across iterations — the
+    target never changes, so this is exact (the reference re-embeds and
+    re-encodes it every pass), and cuts per-iteration cost by the full
+    target-embedding + target-encoder time.
     """
     transformed = src
     R_final = None
     t_final = None
     out = None
-    tgt_emb = (
-        model.apply(variables, tgt, method=VCRNet.embed)
-        if model is not None
-        else None
-    )
+    tgt_emb = None
+    tgt_memory = None
+    if model is not None:
+        tgt_emb = model.apply(variables, tgt, method=VCRNet.embed)
+        if model.cfg.pointer == "transformer":
+            tgt_memory = model.apply(
+                variables, tgt_emb, method=VCRNet.encode_target
+            )
     for _ in range(n_iter):
         if model is not None:
             src_emb = model.apply(variables, transformed, method=VCRNet.embed)
             out = model.apply(
                 variables, transformed, tgt, src_emb, tgt_emb,
-                method=VCRNet.register_embedded,
+                method=VCRNet.register_embedded, tgt_memory=tgt_memory,
             )
         else:
             out = apply_fn(variables, transformed, tgt)
