@@ -167,6 +167,37 @@ class TestPallasEdgeConv:
         out = fused_knn_gather_max(x, a, k=k, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_gather_max_from_idx_matches_fused(self):
+        from vcrnet_tpu.ops.pallas_edgeconv import (
+            fused_knn_gather_max, gather_max_from_idx,
+        )
+
+        x, a, h, w2, b2, k = self._setup()
+        idx = ops.knn(x, k, method="exact")
+        ref = fused_knn_gather_max(x, a, k=k, interpret=True)
+        out = gather_max_from_idx(idx, a, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_gather_max_from_idx_grad_matches_xla(self):
+        import jax
+        from vcrnet_tpu.ops.pallas_edgeconv import gather_max_from_idx
+
+        x, a, h, w2, b2, k = self._setup()
+        idx = ops.knn(x, k, method="exact")
+        ct = jnp.asarray(
+            np.random.RandomState(3).randn(*a.shape).astype(np.float32)
+        )
+
+        def loss_pallas(a_):
+            return jnp.sum(gather_max_from_idx(idx, a_, interpret=True) * ct)
+
+        def loss_xla(a_):
+            return jnp.sum(ops.gather_max_neighbors(a_, idx) * ct)
+
+        gp = np.asarray(jax.grad(loss_pallas)(a))
+        gx = np.asarray(jax.grad(loss_xla)(a))
+        np.testing.assert_allclose(gp, gx, atol=1e-4)
+
     def test_fused_knn_zero_grad(self):
         import jax
         from vcrnet_tpu.ops.pallas_knn import fused_knn

@@ -120,7 +120,16 @@ class LPDNet(nn.Module):
     approx_knn: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        spatial_idx: jax.Array | None = None,
+    ) -> jax.Array:
+        """``spatial_idx`` optionally supplies precomputed xyz-kNN indices
+        [B, N, k] (e.g. cached across eval refinement iterations — rigid
+        transforms preserve distances, so the spatial neighbor sets of a
+        transformed cloud equal the original's)."""
         from vcrnet_tpu.ops.graph import gather_neighbors, gather_max_neighbors
 
         act = lambda v: nn.leaky_relu(v, self.negative_slope)
@@ -191,11 +200,16 @@ class LPDNet(nn.Module):
             256, self.negative_slope, dtype=self.dtype, name="convSN1"
         )(x2)
         if use_fused:
-            from vcrnet_tpu.ops.pallas_edgeconv import fused_knn_gather_max
+            if spatial_idx is not None:
+                from vcrnet_tpu.ops.pallas_edgeconv import gather_max_from_idx
 
-            x3 = act(fused_knn_gather_max(x_init_3d, a2, k=self.k) + h2)
+                x3 = act(gather_max_from_idx(spatial_idx, a2) + h2)
+            else:
+                from vcrnet_tpu.ops.pallas_edgeconv import fused_knn_gather_max
+
+                x3 = act(fused_knn_gather_max(x_init_3d, a2, k=self.k) + h2)
         else:
-            idx_s = knn(
+            idx_s = spatial_idx if spatial_idx is not None else knn(
                 x_init_3d, k=self.k, precision=self.precision,
                 approx=self.approx_knn,
             )

@@ -135,9 +135,17 @@ class VCRNet(nn.Module):
             return self.vcp_att(src_emb, tgt_emb, src, tgt)
         raise ValueError(f"unknown vcp_nn: {self.cfg.vcp_nn}")
 
-    def embed(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def embed(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        spatial_idx: jax.Array | None = None,
+    ) -> jax.Array:
         """Embedding only — exposed so eval refinement loops can cache the
-        (unchanging) target embedding across iterations."""
+        (unchanging) target embedding across iterations. ``spatial_idx``
+        optionally supplies precomputed xyz-kNN indices (LPDNet only)."""
+        if spatial_idx is not None:
+            return self.emb_nn(x, train=train, spatial_idx=spatial_idx)
         return self.emb_nn(x, train=train)
 
     def register_embedded(
@@ -202,11 +210,16 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     vcrnet_model.py:21-43): re-run the net on the transformed source and
     compose. n_iter is static (small), so a python loop unrolls under jit.
 
-    When ``model`` is given, the target embedding AND the pointer's encoder
-    pass over it are computed ONCE and cached across iterations — the
-    target never changes, so this is exact (the reference re-embeds and
-    re-encodes it every pass), and cuts per-iteration cost by the full
-    target-embedding + target-encoder time.
+    When ``model`` is given, three iteration-invariant quantities are
+    computed ONCE and cached:
+      * the target embedding (the target never changes),
+      * the pointer's encoder pass over it,
+      * the SOURCE's spatial (xyz) kNN indices — rigid transforms preserve
+        pairwise distances, so the transformed source's spatial neighbor
+        sets equal the original's (LPDNet only).
+    All three are exact in exact arithmetic (the reference recomputes them
+    every pass), and together cut per-iteration cost by the full
+    target-embedding + target-encoder + spatial-kNN time.
     """
     transformed = src
     R_final = None
@@ -214,15 +227,26 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     out = None
     tgt_emb = None
     tgt_memory = None
+    src_spatial_idx = None
     if model is not None:
         tgt_emb = model.apply(variables, tgt, method=VCRNet.embed)
         if model.cfg.pointer == "transformer":
             tgt_memory = model.apply(
                 variables, tgt_emb, method=VCRNet.encode_target
             )
+        if model.cfg.emb_nn == "lpdnet":
+            from vcrnet_tpu.ops import knn
+
+            src_spatial_idx = knn(
+                src, k=LPDNet.k, precision=_precision(model.cfg),
+                approx=model.cfg.approx_knn,
+            )
     for _ in range(n_iter):
         if model is not None:
-            src_emb = model.apply(variables, transformed, method=VCRNet.embed)
+            src_emb = model.apply(
+                variables, transformed, method=VCRNet.embed,
+                spatial_idx=src_spatial_idx,
+            )
             out = model.apply(
                 variables, transformed, tgt, src_emb, tgt_emb,
                 method=VCRNet.register_embedded, tgt_memory=tgt_memory,

@@ -264,6 +264,26 @@ def _edge_conv_bwd_kernel(
         db2_ref[0] = db2_ref[0] + db2
 
 
+def _gather_max_from_idx_kernel(
+    idx_ref, v_ref, out_ref, *, k: int, tile_q: int,
+):
+    """Forward gather-max given PRECOMPUTED neighbor indices: no score
+    matmul, no k-step argmax — the k gathers run as ONE [k*TQ, N] one-hot
+    MXU matmul, then a static max-tree over the k row blocks. Used when the
+    selection is known to be reusable (e.g. spatial kNN across eval
+    refinement iterations: rigid transforms preserve distances, so the
+    neighbor sets of the transformed source equal the original's)."""
+    idx = idx_ref[0]  # [TQ, k]
+    values = v_ref[0]  # [N, F]
+    n = values.shape[0]
+    onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
+    g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
+    m = g[0:tile_q]
+    for j in range(1, k):
+        m = jnp.maximum(m, g[j * tile_q:(j + 1) * tile_q])
+    out_ref[0] = m.astype(out_ref.dtype)
+
+
 def _gather_max_bwd_kernel(
     idx_ref, v_ref, out_ref, ct_ref, dv_ref,
     *, k: int, tile_q: int, n: int,
@@ -499,6 +519,71 @@ def _fused_gather_max_bwd(k, tile_q, interpret, res, ct):
 
 
 _fused_gather_max_vjp.defvjp(_fused_gather_max_fwd, _fused_gather_max_bwd)
+
+
+def gather_max_from_idx(
+    idx, values, tile_q: int = 128, interpret: bool = False
+):
+    """idx [B, N, k] int32, values [B, N, F] -> [B, N, F]:
+    out[b, i] = channel-wise max of values[b, idx[b, i, :]].
+
+    The from-indices twin of fused_knn_gather_max (same output given
+    idx = knn(x)), skipping the distance matmul and the k-step argmax.
+    Differentiable wrt ``values`` (idx carries no gradient)."""
+    return _gather_max_from_idx_vjp(idx, values, tile_q, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_max_from_idx_vjp(idx, values, tile_q, interpret):
+    return _gather_max_from_idx_impl(idx, values, tile_q, interpret)
+
+
+def _gather_max_from_idx_fwd(idx, values, tile_q, interpret):
+    out = _gather_max_from_idx_impl(idx, values, tile_q, interpret)
+    return out, (idx, values, out)
+
+
+def _gather_max_from_idx_bwd(tile_q, interpret, res, ct):
+    import numpy as np
+
+    idx, values, out = res
+    # same VJP as fused_knn_gather_max, driven by the saved indices
+    _, dv = _fused_gather_max_bwd(
+        idx.shape[-1], tile_q, interpret,
+        (idx, values, out, jnp.zeros(idx.shape[:2] + (1,), values.dtype)),
+        ct,
+    )
+    # integer primal -> float0 cotangent
+    return np.zeros(idx.shape, jax.dtypes.float0), dv
+
+
+_gather_max_from_idx_vjp.defvjp(
+    _gather_max_from_idx_fwd, _gather_max_from_idx_bwd
+)
+
+
+def _gather_max_from_idx_impl(idx, values, tile_q, interpret):
+    B, N, k = idx.shape
+    F = values.shape[-1]
+    tile_q = _pick_tile(N, tile_q)
+    kernel = functools.partial(
+        _gather_max_from_idx_kernel, k=k, tile_q=tile_q
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_q, F), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), values.dtype),
+        interpret=interpret,
+    )(idx, values)
 
 
 def _fused_gather_max_impl(
