@@ -53,7 +53,10 @@ def _remask_topk_keys(scores: jax.Array, p_attn: jax.Array, keep_k: int):
 
     scores/p_attn: [B, H, Nq, Nk]. Keep the keep_k keys with the largest
     total attention mass (summed over heads and queries), push the rest to
-    -1e9, re-softmax.
+    -1e9, re-softmax. (A/B note: restricting-and-renormalising the first
+    softmax — p*mask / sum(p*mask), algebraically the same function — was
+    measured ~0.7 ms SLOWER here: XLA fuses the where+softmax over the
+    already-resident score tensor better than the explicit divide.)
     """
     col_mass = p_attn.sum(axis=(1, 2))  # [B, Nk]
     _, idx = jax.lax.top_k(col_mass, keep_k)  # [B, keep_k]
