@@ -207,12 +207,22 @@ class LPDNet(nn.Module):
             else:
                 from vcrnet_tpu.ops.pallas_edgeconv import fused_knn_gather_max
 
-                x3 = act(fused_knn_gather_max(x_init_3d, a2, k=self.k) + h2)
+                gm, sn_idx = fused_knn_gather_max(
+                    x_init_3d, a2, k=self.k, return_idx=True
+                )
+                x3 = act(gm + h2)
+                # expose the spatial selection so eval refinement loops can
+                # reuse it (apply with mutable=['intermediates'] to collect)
+                self.sow("intermediates", "spatial_idx", sn_idx)
         else:
-            idx_s = spatial_idx if spatial_idx is not None else knn(
-                x_init_3d, k=self.k, precision=self.precision,
-                approx=self.approx_knn,
-            )
+            if spatial_idx is not None:
+                idx_s = spatial_idx
+            else:
+                idx_s = knn(
+                    x_init_3d, k=self.k, precision=self.precision,
+                    approx=self.approx_knn,
+                )
+                self.sow("intermediates", "spatial_idx", idx_s)
             x3 = act(gather_max_neighbors(a2, idx_s, method=gather_method) + h2)
 
         x = jnp.concatenate([x1, x2, x3], axis=-1)  # [B,N,512]

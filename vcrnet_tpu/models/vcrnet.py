@@ -205,6 +205,20 @@ class VCRNet(nn.Module):
         return src_k, src_corr_k, R_ab, t_ab, R_ba, t_ba
 
 
+def _find_sown(tree, name):
+    """Depth-first search of a flax 'intermediates' collection for the
+    first value sown under ``name`` (sow stores tuples; returns element 0).
+    Returns None if absent (e.g. a non-LPDNet embedding)."""
+    if isinstance(tree, dict):
+        for key, val in tree.items():
+            if key == name:
+                return val[0] if isinstance(val, tuple) else val
+            found = _find_sown(val, name)
+            if found is not None:
+                return found
+    return None
+
+
 def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     """Iterative eval-time refinement (reference vcrnetIter,
     vcrnet_model.py:21-43): re-run the net on the transformed source and
@@ -234,19 +248,23 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
             tgt_memory = model.apply(
                 variables, tgt_emb, method=VCRNet.encode_target
             )
-        if model.cfg.emb_nn == "lpdnet":
-            from vcrnet_tpu.ops import knn
-
-            src_spatial_idx = knn(
-                src, k=LPDNet.k, precision=_precision(model.cfg),
-                approx=model.cfg.approx_knn,
-            )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         if model is not None:
-            src_emb = model.apply(
-                variables, transformed, method=VCRNet.embed,
-                spatial_idx=src_spatial_idx,
-            )
+            if i == 0 and model.cfg.emb_nn == "lpdnet":
+                # the first embedding pass sows the spatial (xyz) kNN
+                # selection it computes anyway; reuse it for iterations 2+
+                src_emb, sown = model.apply(
+                    variables, transformed, method=VCRNet.embed,
+                    mutable=["intermediates"],
+                )
+                src_spatial_idx = _find_sown(
+                    sown.get("intermediates", {}), "spatial_idx"
+                )
+            else:
+                src_emb = model.apply(
+                    variables, transformed, method=VCRNet.embed,
+                    spatial_idx=src_spatial_idx,
+                )
             out = model.apply(
                 variables, transformed, tgt, src_emb, tgt_emb,
                 method=VCRNet.register_embedded, tgt_memory=tgt_memory,

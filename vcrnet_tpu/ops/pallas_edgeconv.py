@@ -467,29 +467,33 @@ def _fused_edge_conv_fwd_impl(
 
 
 def fused_knn_gather_max(
-    x, values, k: int = 20, tile_q: int = 128, interpret: bool = False
+    x, values, k: int = 20, tile_q: int = 128, interpret: bool = False,
+    return_idx: bool = False,
 ):
     """x [B,N,C] (distance space), values [B,N,F]
     -> [B, N, F]: per point, channel-wise max of values over its k nearest
-    neighbors in x-space (self excluded).
+    neighbors in x-space (self excluded). With ``return_idx`` also returns
+    the [B, N, k] int32 neighbor indices (zero-gradient), so callers can
+    reuse the selection (e.g. across eval refinement iterations).
 
     Differentiable wrt ``values`` via a Pallas backward kernel (x gets
     zeros — kNN indices carry no gradient)."""
-    return _fused_gather_max_vjp(x, values, k, tile_q, interpret)
+    out, idx = _fused_gather_max_vjp(x, values, k, tile_q, interpret)
+    return (out, idx) if return_idx else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _fused_gather_max_vjp(x, values, k, tile_q, interpret):
-    out, _ = _fused_gather_max_impl(x, values, k, tile_q, interpret)
-    return out
+    return _fused_gather_max_impl(x, values, k, tile_q, interpret)
 
 
 def _fused_gather_max_fwd(x, values, k, tile_q, interpret):
     out, idx = _fused_gather_max_impl(x, values, k, tile_q, interpret)
-    return out, (idx, values, out, jnp.zeros_like(x))
+    return (out, idx), (idx, values, out, jnp.zeros_like(x))
 
 
-def _fused_gather_max_bwd(k, tile_q, interpret, res, ct):
+def _fused_gather_max_bwd(k, tile_q, interpret, res, cts):
+    ct = cts[0]  # the idx output is int32 -> float0 cotangent, unused
     idx, values, out, zero_x = res
     B, N, F = values.shape
     tile_q = _pick_tile(N, tile_q)
@@ -551,7 +555,7 @@ def _gather_max_from_idx_bwd(tile_q, interpret, res, ct):
     _, dv = _fused_gather_max_bwd(
         idx.shape[-1], tile_q, interpret,
         (idx, values, out, jnp.zeros(idx.shape[:2] + (1,), values.dtype)),
-        ct,
+        (ct, None),
     )
     # integer primal -> float0 cotangent
     return np.zeros(idx.shape, jax.dtypes.float0), dv
