@@ -10,8 +10,10 @@ All on the full model (LPDNet embedding + transformer pointer + topK VCP +
 SVD solve, N=1024, emb_dims=512 — the reference's default config), fast TPU
 profile (bf16 MXU matmuls, fused Pallas kernels, flash attention; accuracy
 parity vs exact f32 validated in tests/test_fastpath.py and
-benchmarks/parity_report.py). Refinement uses the exact cached-target-
-embedding optimization (tests/test_models.py proves exactness).
+benchmarks/parity_report.py). Refinement caches the three iteration-
+invariant quantities (target embedding, target encoder memory, source
+spatial-kNN selection — see vcrnet_iter; tests/test_models.py proves the
+cached path equals the naive one).
 
 Prints ONE JSON line. Headline value = whole_iter1 pairs/s/chip (the
 reference's test default); per-protocol numbers in "configs". The driver
@@ -58,45 +60,58 @@ def _model_and_inputs(batch: int, partial: bool, n_iter: int):
 
 
 def bench_protocol(
-    batch: int, partial: bool, n_iter: int, iters: int = 20, warmup: int = 3
+    batch: int, partial: bool, n_iter: int, t_short: int = 2,
+    t_long: int = 8, reps: int = 5,
 ) -> float:
+    """Per-batch eval step time via CHAINED-SCAN differencing: run the
+    protocol T times inside one jit (each step's source perturbed by the
+    previous step's output so nothing is elided), time T_long and T_short,
+    and report (T_long - T_short) steps' delta. On this tunnel-backed
+    platform a host fetch costs ~30 ms RTT and ``block_until_ready`` does
+    not reliably wait, so per-call timing overstates step time by the RTT;
+    differencing cancels it. This is the number a pipelined eval loop
+    (train/engine.py prefetches and never syncs per batch) actually sees.
+    """
     import jax
+    import jax.numpy as jnp
     from vcrnet_tpu.models.vcrnet import vcrnet_iter
 
     model, variables, src, tgt = _model_and_inputs(batch, partial, n_iter)
 
     if n_iter <= 1:
-        fwd = jax.jit(lambda v, s, t: model.apply(v, s, t))
+        fwd = lambda v, s, t: model.apply(v, s, t)
     else:
-        fwd = jax.jit(
-            lambda v, s, t: vcrnet_iter(
-                lambda vv, a, b: model.apply(vv, a, b),
-                v, s, t, n_iter, model=model,
-            )
+        fwd = lambda v, s, t: vcrnet_iter(
+            lambda vv, a, b: model.apply(vv, a, b),
+            v, s, t, n_iter, model=model,
         )
     src_d, tgt_d = jax.device_put(src), jax.device_put(tgt)
 
-    # NOTE: we force a host fetch of the (tiny) rotation output — on this
-    # tunnel-backed platform block_until_ready alone does not reliably wait
-    # for execution. Fetches are pipelined two steps behind dispatch so
-    # device compute overlaps the tunnel's fetch latency (as it would in a
-    # real eval loop).
-    from collections import deque
+    def chained(s0, n_steps):
+        def body(s, _):
+            out = fwd(variables, s, tgt_d)
+            # data-dependent perturbation keeps steps sequential under jit
+            return s + 1e-9 * out[3][:, None, :], out[3].ravel()[0]
 
-    for _ in range(warmup):
-        out = fwd(variables, src_d, tgt_d)
-        np.asarray(out[2])
+        s, _ = jax.lax.scan(body, s0, None, length=n_steps)
+        return s.ravel()[0]
 
-    t0 = time.perf_counter()
-    pending = deque()
-    for _ in range(iters):
-        pending.append(fwd(variables, src_d, tgt_d))
-        if len(pending) > 2:
-            np.asarray(pending.popleft()[2])
-    while pending:
-        np.asarray(pending.popleft()[2])
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    fns = {}
+    for T in (t_short, t_long):
+        fns[T] = jax.jit(lambda s, TT=T: chained(s, TT))
+        np.asarray(fns[T](src_d))  # compile + warm
+    deltas = []
+    for _ in range(reps):
+        timed = {}
+        for T in (t_short, t_long):
+            t0 = time.perf_counter()
+            np.asarray(fns[T](src_d))
+            timed[T] = time.perf_counter() - t0
+        deltas.append((timed[t_long] - timed[t_short]) / (t_long - t_short))
+    dt = float(np.median(deltas))
+    if dt <= 0:  # tunnel noise swamped the differencing; retry signal
+        raise RuntimeError(f"non-positive step delta {dt}")
+    return batch / dt
 
 
 def _best_over_batches(partial: bool, n_iter: int, batches) -> float:

@@ -1,0 +1,70 @@
+"""TRUE device time of the full train step (fwd + bwd + Adam), measured by
+chaining steps inside one jit (lax.scan) so the tunnel's ~30 ms host-fetch
+latency cancels out — the honest number data-parallel scaling multiplies.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/train_step_device.py [B]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from vcrnet_tpu.config import Config
+from vcrnet_tpu.train import Trainer
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    cfg = Config(
+        num_points=1024, emb_dims=512, batch_size=B,
+        compute_dtype="bfloat16",
+    )
+    trainer = Trainer(cfg)
+    rng = np.random.RandomState(0)
+    n = cfg.n_cropped
+    eye = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    zeros = np.zeros((B, 3), np.float32)
+    batch = {
+        "src": rng.rand(B, n, 3).astype(np.float32) - 0.5,
+        "tgt": rng.rand(B, n, 3).astype(np.float32) - 0.5,
+        "R_ab": eye, "t_ab": zeros, "R_ba": eye, "t_ba": zeros,
+        "euler_ab": zeros, "euler_ba": zeros,
+        "valid": np.ones(B, np.float32),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    dev = trainer._to_device(batch)
+
+    def chained(state, iters):
+        def body(s, _):
+            s2, sums = trainer._train_step_impl(s, dev)
+            return s2, sums["loss"]
+
+        s, losses = jax.lax.scan(body, state, None, length=iters)
+        return losses[-1]
+
+    fs = {}
+    for T in (1, 5):
+        fs[T] = jax.jit(lambda s, TT=T: chained(s, TT))
+        np.asarray(fs[T](state))  # compile
+    ds = []
+    for _ in range(5):
+        out = {}
+        for T in (1, 5):
+            t0 = time.perf_counter()
+            np.asarray(fs[T](state))
+            out[T] = time.perf_counter() - t0
+        ds.append((out[5] - out[1]) / 4)
+    dt = float(np.median(ds))
+    print(
+        f"device train step (B={B}): {dt*1000:.1f} ms -> "
+        f"{B/dt:.1f} pairs/s/chip"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,11 @@
 """Training-step throughput (secondary benchmark): full VCR-Net train step
 (forward + point loss + grads + Adam) on synthetic ModelNet40-shaped data.
+
+NOTE: this harness fetches the loss every step, so on the tunnel-backed
+TPU each iteration pays the ~30 ms host round-trip on top of device time.
+For the TRUE device step time (what data-parallel scaling multiplies) use
+benchmarks/train_step_device.py, which chains steps inside one jit.
+
 Usage: python benchmarks/train_throughput.py [batch]
 """
 
