@@ -117,14 +117,20 @@ def bench_protocol(
 def _best_over_batches(partial: bool, n_iter: int, batches) -> float:
     best = 0.0
     for batch in batches:
+        ok = False
         for _attempt in range(2):  # tunnel hiccups happen; retry once
             try:
                 best = max(
                     best, bench_protocol(batch, partial, n_iter)
                 )
+                ok = True
                 break
             except Exception:
                 traceback.print_exc(file=sys.stderr)
+        if not ok:
+            # a batch that failed twice (typically OOM) will not get
+            # better at larger sizes — stop sweeping, keep what we have
+            break
     return best
 
 
@@ -133,28 +139,31 @@ def main():
     configs["whole_iter1"] = _best_over_batches(
         False, 1, (64, 128, 256, 512)
     )
+    if configs["whole_iter1"] == 0.0:
+        # the headline config failed outright — fail fast rather than
+        # spending many more tunnel-TPU minutes on the other protocols
+        raise RuntimeError("headline configuration (whole_iter1) failed")
     configs["whole_iter3"] = _best_over_batches(False, 3, (64, 128, 256))
     configs["partial_iter3"] = _best_over_batches(True, 3, (64, 128, 256))
-    if configs["whole_iter1"] == 0.0:
-        raise RuntimeError("all benchmark configurations failed")
+    failed = sorted(k for k, v in configs.items() if v == 0.0)
     value = configs["whole_iter1"]
-    print(
-        json.dumps(
-            {
-                "metric": "modelnet40_vcrnet_eval_pairs_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(value / NORTH_STAR, 4),
-                "configs": {
-                    k: {
-                        "pairs_per_sec_per_chip": round(v, 2),
-                        "vs_baseline": round(v / NORTH_STAR, 4),
-                    }
-                    for k, v in configs.items()
-                },
+    result = {
+        "metric": "modelnet40_vcrnet_eval_pairs_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / NORTH_STAR, 4),
+        "configs": {
+            k: {
+                "pairs_per_sec_per_chip": round(v, 2),
+                "vs_baseline": round(v / NORTH_STAR, 4),
             }
-        )
-    )
+            for k, v in configs.items()
+        },
+    }
+    if failed:
+        # make partial failures visible instead of reporting a silent 0.0
+        result["failed_configs"] = failed
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -14,30 +14,13 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import os, sys as _sys
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from benchmarks.timing import chain_time
+
 from vcrnet_tpu.ops.pallas_knn import _fused_knn_impl
 
 
-def chain_time(fn, x0, T1=2, T2=10, reps=5):
-    def chained(x, iters):
-        def body(c, _):
-            return fn(c), c.ravel()[0]
-
-        c, _ = jax.lax.scan(body, x, None, length=iters)
-        return c.ravel()[0]
-
-    fs = {}
-    for T in (T1, T2):
-        fs[T] = jax.jit(lambda x, TT=T: chained(x, TT))
-        np.asarray(fs[T](x0))
-    ds = []
-    for _ in range(reps):
-        out = {}
-        for T in (T1, T2):
-            t0 = time.perf_counter()
-            np.asarray(fs[T](x0))
-            out[T] = time.perf_counter() - t0
-        ds.append((out[T2] - out[T1]) / (T2 - T1))
-    return float(np.median(ds))
 
 
 def main():

@@ -178,6 +178,19 @@ class TestPallasEdgeConv:
         out = gather_max_from_idx(idx, a, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
+    def test_gather_max_from_idx_large_n_vmem_guard(self):
+        # at large N the [k*TQ, N] one-hot must shrink its query tile to
+        # stay within VMEM; verify the guarded tiling stays exact
+        from vcrnet_tpu.ops.pallas_edgeconv import gather_max_from_idx
+
+        rng = np.random.RandomState(7)
+        B, N, k, F = 1, 2048, 20, 16
+        a = jnp.asarray(rng.randn(B, N, F).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, N, size=(B, N, k)).astype(np.int32))
+        ref = ops.gather_max_neighbors(a, idx)
+        out = gather_max_from_idx(idx, a, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
     def test_gather_max_from_idx_grad_matches_xla(self):
         import jax
         from vcrnet_tpu.ops.pallas_edgeconv import gather_max_from_idx

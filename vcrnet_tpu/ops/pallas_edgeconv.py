@@ -570,6 +570,11 @@ def _gather_max_from_idx_impl(idx, values, tile_q, interpret):
     B, N, k = idx.shape
     F = values.shape[-1]
     tile_q = _pick_tile(N, tile_q)
+    # VMEM guard: unlike the fused kernel's fori_loop (one [TQ, N] one-hot
+    # live at a time), this kernel materialises the full [k*TQ, N] one-hot
+    # — shrink the query tile at large N so it stays ~<=4 MB
+    while tile_q > 8 and k * tile_q * N * values.dtype.itemsize > 4 << 20:
+        tile_q //= 2
     kernel = functools.partial(
         _gather_max_from_idx_kernel, k=k, tile_q=tile_q
     )
