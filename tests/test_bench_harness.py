@@ -1,0 +1,60 @@
+"""Driver-contract tests for bench.py (no TPU required: bench_protocol is
+mocked). Guards the one-JSON-line schema and the failure-handling rules the
+driver depends on."""
+
+import json
+import sys
+import types
+
+import pytest
+
+import bench
+
+
+def test_best_over_batches_stops_after_failed_batch(monkeypatch):
+    calls = []
+
+    def fake_protocol(batch, partial, n_iter, **kw):
+        calls.append(batch)
+        if batch >= 128:
+            raise RuntimeError("OOM")
+        return 100.0 + batch
+
+    monkeypatch.setattr(bench, "bench_protocol", fake_protocol)
+    best = bench._best_over_batches(False, 1, (64, 128, 256, 512))
+    assert best == 164.0
+    # 128 was attempted twice (retry), then the sweep stopped — 256/512
+    # were never tried (an OOM does not improve at larger batches)
+    assert calls == [64, 128, 128]
+
+
+def test_main_emits_failed_configs_field(monkeypatch, capsys):
+    def fake_protocol(batch, partial, n_iter, **kw):
+        if partial:
+            raise RuntimeError("tunnel hiccup")
+        return 1000.0
+
+    monkeypatch.setattr(bench, "bench_protocol", fake_protocol)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # exactly ONE JSON line
+    payload = json.loads(out[0])
+    assert payload["value"] == 1000.0
+    assert payload["vs_baseline"] == pytest.approx(1000.0 / 625.0)
+    assert payload["failed_configs"] == ["partial_iter3"]
+    assert payload["configs"]["partial_iter3"]["pairs_per_sec_per_chip"] == 0.0
+
+
+def test_main_fails_fast_when_headline_fails(monkeypatch):
+    calls = []
+
+    def fake_protocol(batch, partial, n_iter, **kw):
+        calls.append((batch, partial, n_iter))
+        raise RuntimeError("dead TPU")
+
+    monkeypatch.setattr(bench, "bench_protocol", fake_protocol)
+    with pytest.raises(RuntimeError, match="whole_iter1"):
+        bench.main()
+    # only the first batch of the headline config was attempted (twice);
+    # the other protocols never ran
+    assert calls == [(64, False, 1), (64, False, 1)]
