@@ -191,6 +191,43 @@ class TestPallasEdgeConv:
         out = gather_max_from_idx(idx, a, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
+    def test_vmem_guard_tile_constraints(self):
+        # (ADVICE r1) shrink under pressure, but never below a multiple of 8
+        # that divides N — and the backward wrappers must apply the guard
+        from vcrnet_tpu.ops.pallas_edgeconv import _vmem_guard_tile
+
+        # 20*128*4096*4B = 40 MB -> shrinks; all candidates divide 4096
+        assert _vmem_guard_tile(128, 20, 4096, 4) == 8
+        # non-power-of-two caller tile: 96 -> 48 (÷8 ok, divides 768)
+        # -> 24 would be ÷8-violating, so stop at... 48%8==0, 24%8==0 no
+        t = _vmem_guard_tile(96, 20, 768, 4)
+        assert t % 8 == 0 and 768 % t == 0
+        # small problem (20*128*512*2B = 2.6 MB <= 4 MB): untouched
+        assert _vmem_guard_tile(128, 20, 512, 2) == 128
+
+    def test_edge_conv_bwd_large_n_vmem_guard(self):
+        # (ADVICE r1 medium) backward kernels at N=2048 must tile-shrink and
+        # stay exact vs the XLA grad
+        import jax
+        from vcrnet_tpu.ops.pallas_edgeconv import fused_knn_gather_max
+
+        rng = np.random.RandomState(11)
+        B, N, k, F = 1, 2048, 20, 16
+        x = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+        a = jnp.asarray(rng.randn(B, N, F).astype(np.float32))
+        ct = jnp.asarray(rng.randn(B, N, F).astype(np.float32))
+        idx = ops.knn(x, k, method="exact")
+
+        def loss_pallas(a_):
+            return jnp.sum(fused_knn_gather_max(x, a_, k=k, interpret=True) * ct)
+
+        def loss_xla(a_):
+            return jnp.sum(ops.gather_max_neighbors(a_, idx) * ct)
+
+        gp = np.asarray(jax.grad(loss_pallas)(a))
+        gx = np.asarray(jax.grad(loss_xla)(a))
+        np.testing.assert_allclose(gp, gx, atol=1e-4)
+
     def test_gather_max_from_idx_grad_matches_xla(self):
         import jax
         from vcrnet_tpu.ops.pallas_edgeconv import gather_max_from_idx

@@ -62,6 +62,13 @@ def try_download(
             with urllib.request.urlopen(url, timeout=timeout) as resp:
                 shutil.copyfileobj(resp, tmp)
         with zipfile.ZipFile(tmp_path) as z:
+            # zip-slip guard: reject absolute paths and '..' components
+            # (extractall(filter=...) is tarfile-only; do it by hand)
+            base = os.path.realpath(root)
+            for name in z.namelist():
+                dest = os.path.realpath(os.path.join(base, name))
+                if not (dest == base or dest.startswith(base + os.sep)):
+                    raise ValueError(f"unsafe zip member: {name!r}")
             z.extractall(root)
         return target if os.path.isdir(target) else None
     except Exception:

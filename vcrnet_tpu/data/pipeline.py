@@ -96,31 +96,50 @@ def prefetch(loader, map_fn=None, depth: int = 2):
     (data/augment.py::device_augment_batch).
 
     Exceptions in the worker are re-raised in the consumer. If the consumer
-    abandons iteration early, the daemon worker parks on the bounded queue
-    and is reclaimed at interpreter exit (one epoch of batches at most).
+    abandons iteration early (generator close / exception mid-epoch), the
+    worker is signalled to stop and the queue drained, so no thread parks
+    holding device-put batches for the process lifetime.
     """
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     sentinel = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in loader:
-                q.put(map_fn(item) if map_fn is not None else item)
+                mapped = map_fn(item) if map_fn is not None else item
+                while not stop.is_set():
+                    try:
+                        q.put(mapped, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(sentinel)
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             q.put(e)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a worker mid-put and drop pinned batches
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def make_datasets(cfg: Config):

@@ -329,6 +329,18 @@ def _pick_tile(n, tile_q):
     return next(t for t in (128, 64, 32, 16, 8) if n % t == 0)
 
 
+def _vmem_guard_tile(tile_q, k, n, itemsize, budget=4 << 20):
+    """Shrink tile_q so a [k*tile_q, n] one-hot stays under ~budget bytes of
+    VMEM. Each halving must keep tile_q a multiple of 8 (Mosaic sublane
+    constraint) and a divisor of n (grid tiling); stop when it can't."""
+    while tile_q > 8 and k * tile_q * n * itemsize > budget:
+        nxt = tile_q // 2
+        if nxt % 8 != 0 or n % nxt != 0:
+            break
+        tile_q = nxt
+    return tile_q
+
+
 def fused_edge_conv(
     x, a, h, w2, b2, k: int = 20, negative_slope: float = 0.0,
     tile_q: int = 128, interpret: bool = False,
@@ -366,6 +378,8 @@ def _fused_edge_conv_bwd(k, negative_slope, tile_q, interpret, res, cts):
     ct1, ct2 = cts
     B, N, F = a.shape
     tile_q = _pick_tile(N, tile_q)
+    # the backward materialises the full [k*TQ, N] one-hot (no fori_loop)
+    tile_q = _vmem_guard_tile(tile_q, k, N, a.dtype.itemsize)
     kernel = functools.partial(
         _edge_conv_bwd_kernel, k=k, tile_q=tile_q, slope=negative_slope, n=N
     )
@@ -497,6 +511,8 @@ def _fused_gather_max_bwd(k, tile_q, interpret, res, cts):
     idx, values, out, zero_x = res
     B, N, F = values.shape
     tile_q = _pick_tile(N, tile_q)
+    # the backward materialises the full [k*TQ, N] one-hot (no fori_loop)
+    tile_q = _vmem_guard_tile(tile_q, k, N, values.dtype.itemsize)
     kernel = functools.partial(
         _gather_max_bwd_kernel, k=k, tile_q=tile_q, n=N
     )
@@ -572,9 +588,7 @@ def _gather_max_from_idx_impl(idx, values, tile_q, interpret):
     tile_q = _pick_tile(N, tile_q)
     # VMEM guard: unlike the fused kernel's fori_loop (one [TQ, N] one-hot
     # live at a time), this kernel materialises the full [k*TQ, N] one-hot
-    # — shrink the query tile at large N so it stays ~<=4 MB
-    while tile_q > 8 and k * tile_q * N * values.dtype.itemsize > 4 << 20:
-        tile_q //= 2
+    tile_q = _vmem_guard_tile(tile_q, k, N, values.dtype.itemsize)
     kernel = functools.partial(
         _gather_max_from_idx_kernel, k=k, tile_q=tile_q
     )

@@ -406,7 +406,7 @@ class Trainer:
             if cfg.model == "vcrnet" and cfg.iter > 0:
                 out = vcrnet_iter(
                     lambda v, s, t: self.model.apply(v, s, t),
-                    variables, src, tgt, cfg.iter,
+                    variables, src, tgt, cfg.iter, model=self.model,
                 )
                 R_ab, t_ab = out[2], out[3]
             else:
