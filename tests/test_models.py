@@ -199,6 +199,87 @@ class TestVCRNet:
         np.testing.assert_allclose(np.linalg.det(np.asarray(out[2])), 1.0, atol=1e-4)
 
 
+class TestDropout:
+    """--dropout is functional here (an upgrade: the reference accepts the
+    flag but nulls every dropout module — transformer.py:198, 235,
+    147-153). Train-mode stochastic, eval deterministic, dropout=0 exact."""
+
+    def _setup(self, dropout):
+        cfg = Config(
+            num_points=64, emb_dims=64, ff_dims=128, dropout=dropout
+        )
+        rng = np.random.RandomState(42)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        return model, variables, src, tgt
+
+    def test_train_mode_is_stochastic(self):
+        model, variables, src, tgt = self._setup(0.5)
+        out1 = model.apply(
+            variables, src, tgt, True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )[0]
+        out2 = model.apply(
+            variables, src, tgt, True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )[0]
+        assert not np.allclose(np.asarray(out1[2]), np.asarray(out2[2]))
+
+    def test_eval_mode_is_deterministic_and_rate_free(self):
+        model, variables, src, tgt = self._setup(0.5)
+        out1 = model.apply(variables, src, tgt)
+        out2 = model.apply(variables, src, tgt)
+        np.testing.assert_array_equal(np.asarray(out1[2]), np.asarray(out2[2]))
+        # eval at dropout=0.5 == eval of the same weights at dropout=0
+        model0, _, _, _ = self._setup(0.0)
+        out0 = model0.apply(variables, src, tgt)
+        np.testing.assert_allclose(
+            np.asarray(out1[2]), np.asarray(out0[2]), atol=1e-6
+        )
+
+    def test_zero_rate_needs_no_rng_in_train(self):
+        model, variables, src, tgt = self._setup(0.0)
+        out = model.apply(
+            variables, src, tgt, True, mutable=["batch_stats"]
+        )[0]
+        assert np.all(np.isfinite(np.asarray(out[2])))
+
+    def test_train_step_runs_with_dropout(self):
+        from vcrnet_tpu.train.engine import Trainer
+
+        cfg = Config(
+            num_points=64, emb_dims=64, ff_dims=128, dropout=0.3,
+            batch_size=2,
+        )
+        rng = np.random.RandomState(13)
+        src, tgt, R, t = make_pair(rng, batch=2, n=64)
+        batch = {
+            "src": np.asarray(src), "tgt": np.asarray(tgt),
+            "R_ab": np.asarray(R), "t_ab": np.asarray(t),
+            "R_ba": np.asarray(R).transpose(0, 2, 1),
+            "t_ba": -np.einsum("bji,bj->bi", np.asarray(R), np.asarray(t)),
+            "euler_ab": Rotation.from_matrix(np.asarray(R))
+            .as_euler("zyx").astype(np.float32),
+            "euler_ba": Rotation.from_matrix(
+                np.asarray(R).transpose(0, 2, 1)
+            ).as_euler("xyz").astype(np.float32),
+            "label": np.zeros(2, np.int32),
+            "valid": np.ones(2, np.float32),
+        }
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        # the step donates its input state: snapshot params first
+        before = jax.tree_util.tree_map(np.asarray, state.params)
+        state2, sums = trainer._train_step(state, trainer._to_device(batch))
+        assert np.isfinite(float(sums["loss"]))
+        # params actually moved
+        moved = jax.tree_util.tree_map(
+            lambda a, b: np.any(a != np.asarray(b)), before, state2.params
+        )
+        assert any(jax.tree_util.tree_leaves(moved))
+
+
 class TestDCP:
     def test_svd_head(self):
         cfg = Config(model="dcp", num_points=64, emb_dims=64, ff_dims=128)

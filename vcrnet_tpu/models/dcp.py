@@ -74,6 +74,7 @@ class DCP(nn.Module):
                 precision=_precision(cfg),
                 dtype=_dtype(cfg),
                 flash=_use_flash(cfg),
+                dropout_rate=cfg.dropout,
             )
         elif cfg.pointer == "identity":
             self.pointer = None
@@ -90,7 +91,7 @@ class DCP(nn.Module):
         tgt_emb = self.emb_nn(tgt, train=train)
 
         if self.pointer is not None:
-            src_delta, tgt_delta = self.pointer(src_emb, tgt_emb)
+            src_delta, tgt_delta = self.pointer(src_emb, tgt_emb, train=train)
             src_emb = src_emb + src_delta
             tgt_emb = tgt_emb + tgt_delta
 

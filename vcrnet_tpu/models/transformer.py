@@ -120,14 +120,27 @@ class MultiHeadAttention(nn.Module):
     precision: Any = None
     dtype: Any = None
     flash: bool = False
+    dropout_rate: float = 0.0  # on p_attn after softmax. NOTE: the
+    # reference's --dropout is DEAD code (MultiHeadedAttention hard-sets
+    # self.dropout = None, reference transformer.py:198); here the flag is
+    # functional, at the Annotated-Transformer position the reference's
+    # structure descends from. Default 0.0 == reference behavior.
     capture_attention: bool = False  # sow p_attn (reference GlobalVar,
     # util/util.py:31-73) — retrieve with apply(..., mutable=['intermediates'])
 
     @nn.compact
-    def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array):
+    def __call__(
+        self,
+        query: jax.Array,
+        key: jax.Array,
+        value: jax.Array,
+        train: bool = False,
+    ):
         B, Nq, _ = query.shape
         Nk = key.shape[1]
         h, d_k = self.n_heads, self.d_model // self.n_heads
+        # active dropout needs the materialised p_attn -> unfused path
+        dropping = train and self.dropout_rate > 0.0
 
         def proj(x, name):
             y = nn.Dense(self.d_model, name=name, dtype=self.dtype)(x)
@@ -137,10 +150,11 @@ class MultiHeadAttention(nn.Module):
         k = proj(key, "linear_k")
         v = proj(value, "linear_v")
 
-        if self.flash and not self.remask:
+        if self.flash and not self.remask and not dropping:
             x = _flash(q, k, v, 1.0 / (d_k**0.5))
         elif (
             self.flash and self.remask and not self.capture_attention
+            and not dropping
             and Nk > 2048 and Nk % 128 == 0 and Nq % 128 == 0
         ):
             # large-N streaming re-mask (only pays off beyond ~2048 keys —
@@ -178,6 +192,11 @@ class MultiHeadAttention(nn.Module):
                 # reference MultiHeadedAttention stores sum-over-heads
                 # attention for figures (transformer.py:219)
                 self.sow("intermediates", "attn", p_attn.sum(axis=1))
+            if self.dropout_rate > 0.0:
+                p_attn = nn.Dropout(
+                    rate=self.dropout_rate, deterministic=not train,
+                    name="attn_drop",
+                )(p_attn)
 
             x = jnp.einsum(
                 "bhnm,bhmd->bhnd", p_attn.astype(v.dtype), v,
@@ -194,11 +213,26 @@ class FeedForward(nn.Module):
     d_ff: int
     d_model: int
     dtype: Any = None
+    dropout_rate: float = 0.0  # between relu(w1) and w2; dead in the
+    # reference (its PositionwiseFeedForward nulls dropout, transformer.py:235)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.relu(nn.Dense(self.d_ff, name="w_1", dtype=self.dtype)(x))
+        if self.dropout_rate > 0.0:
+            x = nn.Dropout(
+                rate=self.dropout_rate, deterministic=not train, name="drop"
+            )(x)
         return nn.Dense(self.d_model, name="w_2", dtype=self.dtype)(x)
+
+
+def _sublayer_drop(rate: float, train: bool, name: str):
+    """Residual-branch dropout ``x + drop(f(norm(x)))``; identity at rate 0
+    (the reference's SublayerConnection accepts-and-ignores dropout,
+    transformer.py:147-153)."""
+    if rate > 0.0:
+        return nn.Dropout(rate=rate, deterministic=not train, name=name)
+    return lambda x: x
 
 
 class EncoderLayer(nn.Module):
@@ -208,19 +242,25 @@ class EncoderLayer(nn.Module):
     precision: Any = None
     dtype: Any = None
     flash: bool = False
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         attn = MultiHeadAttention(
             self.n_heads, self.d_model, precision=self.precision,
-            dtype=self.dtype, flash=self.flash, name="self_attn",
+            dtype=self.dtype, flash=self.flash,
+            dropout_rate=self.dropout_rate, name="self_attn",
         )
+        r = self.dropout_rate
         y = TorchLayerNorm(name="norm0")(x)
-        x = x + attn(y, y, y)
+        x = x + _sublayer_drop(r, train, "drop0")(attn(y, y, y, train=train))
         y = TorchLayerNorm(name="norm1")(x)
-        return x + FeedForward(
-            self.d_ff, self.d_model, dtype=self.dtype, name="ff"
-        )(y)
+        return x + _sublayer_drop(r, train, "drop1")(
+            FeedForward(
+                self.d_ff, self.d_model, dtype=self.dtype,
+                dropout_rate=r, name="ff",
+            )(y, train=train)
+        )
 
 
 class DecoderLayer(nn.Module):
@@ -232,12 +272,16 @@ class DecoderLayer(nn.Module):
     precision: Any = None
     dtype: Any = None
     flash: bool = False
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, memory: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, memory: jax.Array, train: bool = False
+    ) -> jax.Array:
         self_attn = MultiHeadAttention(
             self.n_heads, self.d_model, precision=self.precision,
-            dtype=self.dtype, flash=self.flash, name="self_attn",
+            dtype=self.dtype, flash=self.flash,
+            dropout_rate=self.dropout_rate, name="self_attn",
         )
         src_attn = MultiHeadAttention(
             self.n_heads,
@@ -247,16 +291,25 @@ class DecoderLayer(nn.Module):
             precision=self.precision,
             dtype=self.dtype,
             flash=self.flash,
+            dropout_rate=self.dropout_rate,
             name="src_attn",
         )
+        r = self.dropout_rate
         y = TorchLayerNorm(name="norm0")(x)
-        x = x + self_attn(y, y, y)
+        x = x + _sublayer_drop(r, train, "drop0")(
+            self_attn(y, y, y, train=train)
+        )
         y = TorchLayerNorm(name="norm1")(x)
-        x = x + src_attn(y, memory, memory)
+        x = x + _sublayer_drop(r, train, "drop1")(
+            src_attn(y, memory, memory, train=train)
+        )
         y = TorchLayerNorm(name="norm2")(x)
-        return x + FeedForward(
-            self.d_ff, self.d_model, dtype=self.dtype, name="ff"
-        )(y)
+        return x + _sublayer_drop(r, train, "drop2")(
+            FeedForward(
+                self.d_ff, self.d_model, dtype=self.dtype,
+                dropout_rate=r, name="ff",
+            )(y, train=train)
+        )
 
 
 class TransformerPointer(nn.Module):
@@ -276,12 +329,14 @@ class TransformerPointer(nn.Module):
     precision: Any = None
     dtype: Any = None
     flash: bool = False
+    dropout_rate: float = 0.0
 
     def setup(self):
         self.enc_layers = [
             EncoderLayer(
                 self.n_heads, self.emb_dims, self.ff_dims,
                 precision=self.precision, dtype=self.dtype, flash=self.flash,
+                dropout_rate=self.dropout_rate,
             )
             for _ in range(self.n_blocks)
         ]
@@ -295,20 +350,21 @@ class TransformerPointer(nn.Module):
                 precision=self.precision,
                 dtype=self.dtype,
                 flash=self.flash,
+                dropout_rate=self.dropout_rate,
             )
             for _ in range(self.n_blocks)
         ]
         self.enc_norm = TorchLayerNorm()
         self.dec_norm = TorchLayerNorm()
 
-    def _encode(self, x):
+    def _encode(self, x, train: bool = False):
         for layer in self.enc_layers:
-            x = layer(x)
+            x = layer(x, train=train)
         return self.enc_norm(x)
 
-    def _decode(self, x, memory):
+    def _decode(self, x, memory, train: bool = False):
         for layer in self.dec_layers:
-            x = layer(x, memory)
+            x = layer(x, memory, train=train)
         return self.dec_norm(x)
 
     def encode_memory(self, x: jax.Array) -> jax.Array:
@@ -321,14 +377,15 @@ class TransformerPointer(nn.Module):
         src_emb: jax.Array,
         tgt_emb: jax.Array,
         tgt_memory: jax.Array | None = None,
+        train: bool = False,
     ):
         # reference transformer.py:269-270: tgt' = model(src, tgt),
         # src' = model(tgt, src); model(a, b) = decode(b | encode(a)).
         # NOTE: stacking the two directions on the batch axis was A/B'd and
         # is ~6% SLOWER end-to-end at B=64 (the concat/split HBM copies cost
         # more than XLA's own overlap of the two passes saves).
-        tgt_delta = self._decode(tgt_emb, self._encode(src_emb))
+        tgt_delta = self._decode(tgt_emb, self._encode(src_emb, train), train)
         if tgt_memory is None:
-            tgt_memory = self._encode(tgt_emb)
-        src_delta = self._decode(src_emb, tgt_memory)
+            tgt_memory = self._encode(tgt_emb, train)
+        src_delta = self._decode(src_emb, tgt_memory, train)
         return src_delta, tgt_delta

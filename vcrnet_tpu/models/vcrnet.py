@@ -94,6 +94,7 @@ class VCRNet(nn.Module):
                 precision=_precision(cfg),
                 dtype=_dtype(cfg),
                 flash=_use_flash(cfg),
+                dropout_rate=cfg.dropout,
             )
         elif cfg.pointer == "identity":
             self.pointer = None
@@ -188,7 +189,7 @@ class VCRNet(nn.Module):
     def _register(self, src, tgt, src_emb, tgt_emb, train, tgt_memory=None):
         if self.pointer is not None:
             src_delta, tgt_delta = self.pointer(
-                src_emb, tgt_emb, tgt_memory=tgt_memory
+                src_emb, tgt_emb, tgt_memory=tgt_memory, train=train
             )
             src_emb = src_emb + src_delta
             tgt_emb = tgt_emb + tgt_delta

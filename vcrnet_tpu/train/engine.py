@@ -169,10 +169,10 @@ class Trainer:
     # forward + loss per model family
     # ------------------------------------------------------------------
 
-    def _apply(self, variables, src, tgt, train: bool):
+    def _apply(self, variables, src, tgt, train: bool, rngs=None):
         if train:
             return self.model.apply(
-                variables, src, tgt, True, mutable=["batch_stats"]
+                variables, src, tgt, True, mutable=["batch_stats"], rngs=rngs
             )
         return self.model.apply(variables, src, tgt), {}
 
@@ -287,6 +287,15 @@ class Trainer:
     def _train_step_impl(self, state: TrainState, batch: dict):
         cfg = self.cfg
         valid = batch.get("valid", jnp.ones(batch["src"].shape[0]))
+        # dropout rng: deterministic fold of (seed, step); only threaded when
+        # the flag is active so the dropout=0 trace is unchanged
+        rngs = None
+        if cfg.dropout > 0.0:
+            rngs = {
+                "dropout": jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed + 0xD0), state.step
+                )
+            }
 
         def loss_fn(params):
             variables = {"params": params}
@@ -298,7 +307,7 @@ class Trainer:
                 )
                 return loss, (sums, mut)
             out, mut = self._apply(
-                variables, batch["src"], batch["tgt"], train=True
+                variables, batch["src"], batch["tgt"], train=True, rngs=rngs
             )
             if cfg.model == "vcrnet":
                 loss, sums = self._vcrnet_loss_and_sums(out, batch, valid)
