@@ -35,10 +35,32 @@ def save_checkpoint(directory: str, name: str, state) -> str:
 
 
 def load_checkpoint(path: str, template):
-    """Restore into a template TrainState (same tree structure)."""
+    """Restore into a template TrainState. Falls back to a NON-STRICT param
+    merge when tree structures differ (the reference loads with
+    strict=False, util/initPara.py:254 — e.g. an LPD-pretrain checkpoint
+    into a VCRNet model restores just the embedding; optimizer state is
+    kept from the template in that case)."""
     with open(path, "rb") as f:
         data = f.read()
-    return serialization.from_bytes(template, data)
+    try:
+        return serialization.from_bytes(template, data)
+    except ValueError:
+        raw = serialization.msgpack_restore(data)
+        saved_params = raw.get("params", {})
+        state = template.replace(
+            params=merge_params(
+                serialization.to_state_dict(template.params), saved_params
+            )
+        )
+        saved_bs = raw.get("batch_stats", None)
+        if saved_bs and template.batch_stats:
+            state = state.replace(
+                batch_stats=merge_params(
+                    serialization.to_state_dict(template.batch_stats),
+                    saved_bs,
+                )
+            )
+        return state
 
 
 def save_fit_state(directory: str, fit_state: dict) -> str:
