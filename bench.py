@@ -15,6 +15,10 @@ invariant quantities (target embedding, target encoder memory, source
 spatial-kNN selection — see vcrnet_iter; tests/test_models.py proves the
 cached path equals the naive one).
 
+``python bench.py --accuracy`` instead prints a per-protocol rot/trans
+RMSE table (fast profile vs exact-f32, pretrained embedding, deterministic
+synthetic eval set) so throughput claims carry their accuracy.
+
 Prints ONE JSON line. Headline value = whole_iter1 pairs/s/chip (the
 reference's test default); per-protocol numbers in "configs". The driver
 north star is >=5,000 pairs/sec on a v5e-8 at reference RMSE, i.e. 625
@@ -134,7 +138,78 @@ def _best_over_batches(partial: bool, n_iter: int, batches) -> float:
     return best
 
 
+def accuracy_report(n_items: int = 96) -> dict:
+    """Per-protocol rot/trans RMSE under the BENCHED fast profile and the
+    exact-f32 path (pretrained LPDNet embedding, deterministic synthetic
+    eval set from the reference-parity pipeline) — so the throughput claims
+    carry their accuracy. End-task absolute RMSE on real ModelNet40 needs
+    the real h5 + a trained head (docs/RUNBOOK_MODELNET40.md); this block
+    proves the SPEED knobs don't move the metrics (delta columns)."""
+    import jax
+    from vcrnet_tpu.config import Config
+    from vcrnet_tpu.data import SyntheticDataset, Loader
+    from vcrnet_tpu.train import Trainer
+    from vcrnet_tpu.train.checkpoint import (
+        load_t7_lpdnet, merge_pretrained_embedding,
+    )
+
+    t7 = "/root/reference/pretrained/lpd-pretrained.t7"
+    protos = {
+        "whole_iter1": dict(iter=1),
+        "whole_iter3": dict(iter=3),
+        "partial_iter3": dict(iter=3, partial=True, overlap=0.575),
+    }
+    out = {}
+    for name, pkw in protos.items():
+        row = {}
+        for profile in ("fast", "exact"):
+            kw = dict(
+                num_points=1024, emb_dims=512, test_batch_size=24, **pkw
+            )
+            if profile == "fast":
+                kw.update(compute_dtype="bfloat16")
+            cfg = Config(**kw)
+            trainer = Trainer(cfg)
+            ds = SyntheticDataset(
+                cfg, "test", n_items=n_items, cloud_points=2048
+            )
+            loader = Loader(
+                ds, cfg.test_batch_size, shuffle=False, drop_last=False
+            )
+            state = trainer.init_state(
+                jax.random.PRNGKey(cfg.seed), next(iter(loader))
+            )
+            state = state.replace(
+                params=merge_pretrained_embedding(
+                    state.params, load_t7_lpdnet(t7)
+                )
+            )
+            s = trainer.eval_epoch(state, loader)
+            row[profile] = {
+                "rot_RMSE_deg": round(float(s["rot_ab_RMSE"]), 4),
+                "trans_RMSE": round(float(s["trans_ab_RMSE"]), 6),
+            }
+        row["delta"] = {
+            "rot_RMSE_deg": round(
+                abs(
+                    row["fast"]["rot_RMSE_deg"]
+                    - row["exact"]["rot_RMSE_deg"]
+                ),
+                4,
+            ),
+            "trans_RMSE": round(
+                abs(row["fast"]["trans_RMSE"] - row["exact"]["trans_RMSE"]),
+                6,
+            ),
+        }
+        out[name] = row
+    return out
+
+
 def main():
+    if "--accuracy" in sys.argv:
+        print(json.dumps({"accuracy": accuracy_report()}))
+        return
     configs = {}
     configs["whole_iter1"] = _best_over_batches(
         False, 1, (64, 128, 256, 512)

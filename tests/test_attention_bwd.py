@@ -1,0 +1,84 @@
+"""Fused one-pass flash-attention backward kernel vs XLA autodiff.
+
+The kernel (ops/pallas_attention.py) is exercised in interpret mode: its
+(q, k, v, o, lse, do) inputs are produced by a plain-XLA attention forward,
+and its (dq, dk, dv) must match jax.grad of that forward. Covers the
+padded-key masking path (nk_valid < Nk) used at partial shapes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vcrnet_tpu.ops.pallas_attention import _bwd_fused
+
+
+def _reference_attention(q, k, v, sm_scale, nk_valid):
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) * sm_scale
+    if nk_valid < k.shape[2]:
+        col = jnp.arange(k.shape[2])
+        s = jnp.where(col[None, None, None, :] < nk_valid, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+    lse = jax.scipy.special.logsumexp(s, axis=-1)  # [B,H,N]
+    return o, lse
+
+
+@pytest.mark.parametrize(
+    "nq,nk,nk_valid",
+    [(256, 256, 256), (256, 384, 256), (128, 256, 256)],
+)
+def test_fused_bwd_matches_xla_grads(nq, nk, nk_valid):
+    rng = np.random.RandomState(0)
+    B, H, D = 2, 2, 128
+    sm_scale = 1.0 / np.sqrt(D)
+    q = jnp.asarray(rng.randn(B, H, nq, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, nk, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, nk, D).astype(np.float32))
+    ct = jnp.asarray(rng.randn(B, H, nq, D).astype(np.float32))
+
+    def loss(q_, k_, v_):
+        o, _ = _reference_attention(q_, k_, v_, sm_scale, nk_valid)
+        return jnp.sum(o * ct)
+
+    dq_ref, dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    o, lse = _reference_attention(q, k, v, sm_scale, nk_valid)
+    dq, dk, dv = _bwd_fused(
+        q, k, v, o, lse, ct, sm_scale, nk_valid, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-3)
+
+
+def test_fused_bwd_padded_queries_contribute_nothing():
+    # padded query rows (zero do) must not touch dk/dv
+    rng = np.random.RandomState(1)
+    B, H, nq, nk, D = 1, 1, 256, 256, 128
+    sm_scale = 1.0 / np.sqrt(D)
+    q = jnp.asarray(rng.randn(B, H, nq, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, nk, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, nk, D).astype(np.float32))
+    o, lse = _reference_attention(q, k, v, sm_scale, nk)
+    ct = rng.randn(B, H, nq, D).astype(np.float32)
+    ct[:, :, 128:, :] = 0.0  # "padded" back half
+    ct = jnp.asarray(ct)
+    _, dk_full, dv_full = _bwd_fused(
+        q, k, v, o, lse, ct, sm_scale, nk, interpret=True
+    )
+
+    # reference restricted to the first 128 queries
+    def loss(k_, v_):
+        o_, _ = _reference_attention(q[:, :, :128], k_, v_, sm_scale, nk)
+        return jnp.sum(o_ * ct[:, :, :128])
+
+    dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1))(k, v)
+    np.testing.assert_allclose(
+        np.asarray(dk_full), np.asarray(dk_ref), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dv_full), np.asarray(dv_ref), atol=2e-3
+    )

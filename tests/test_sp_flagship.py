@@ -1,0 +1,212 @@
+"""Point-sharded FLAGSHIP model vs the single-device model, 8-device CPU
+mesh: pointer equivalence, partial-head equivalence, full forward
+equivalence (whole + partial), and gradients through shard_map.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vcrnet_tpu.config import Config
+from vcrnet_tpu.models import VCRNet
+from vcrnet_tpu.models import heads
+from vcrnet_tpu.parallel import make_mesh
+from vcrnet_tpu.parallel.point_sharding import shard_points
+from vcrnet_tpu.parallel.sp_flagship import (
+    pointer_sp,
+    register_flagship_sp,
+    sp_train_loss,
+)
+
+B, N, E = 2, 128, 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(num_points=N, emb_dims=E, ff_dims=128)
+    model = VCRNet(cfg=cfg)
+    rng = np.random.RandomState(0)
+    src = rng.rand(B, N, 3).astype(np.float32) - 0.5
+    tgt = rng.rand(B, N, 3).astype(np.float32) - 0.5
+    variables = model.init(jax.random.PRNGKey(0), src[:1], tgt[:1])
+    mesh = make_mesh()
+    return cfg, model, variables, src, tgt, mesh
+
+
+def test_pointer_sp_matches_single_device(setup):
+    cfg, model, variables, src, tgt, mesh = setup
+    rng = np.random.RandomState(1)
+    se = rng.randn(B, N, E).astype(np.float32)
+    te = rng.randn(B, N, E).astype(np.float32)
+
+    sd_ref, td_ref = model.apply(
+        variables, jnp.asarray(se), jnp.asarray(te),
+        method=lambda m, a, b: m.pointer(a, b),
+    )
+    sd, td = pointer_sp(
+        variables["params"]["pointer"],
+        shard_points(jnp.asarray(se), mesh),
+        shard_points(jnp.asarray(te), mesh),
+        mesh, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+    )
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(sd_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(td), np.asarray(td_ref), atol=2e-4)
+
+
+def test_pointer_sp_partial_remask_matches(setup):
+    cfg0, model0, _, src, tgt, mesh = setup
+    cfg = Config(
+        num_points=N, emb_dims=E, ff_dims=128, partial=True, overlap=0.575
+    )
+    model = VCRNet(cfg=cfg)
+    n = cfg.n_cropped - (cfg.n_cropped % mesh.devices.size)
+    rng = np.random.RandomState(2)
+    s = rng.rand(B, n, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), s[:1], s[:1])
+    se = rng.randn(B, n, E).astype(np.float32)
+    te = rng.randn(B, n, E).astype(np.float32)
+
+    sd_ref, td_ref = model.apply(
+        variables, jnp.asarray(se), jnp.asarray(te),
+        method=lambda m, a, b: m.pointer(a, b),
+    )
+    sd, td = pointer_sp(
+        variables["params"]["pointer"],
+        shard_points(jnp.asarray(se), mesh),
+        shard_points(jnp.asarray(te), mesh),
+        mesh, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+        partial_mode=True, overlap2=cfg.overlap2,
+    )
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(sd_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(td), np.asarray(td_ref), atol=2e-4)
+
+
+def test_flagship_sp_whole_matches_model(setup):
+    cfg, model, variables, src, tgt, mesh = setup
+    out_ref = model.apply(variables, jnp.asarray(src), jnp.asarray(tgt))
+    src_k, corr, R, t = register_flagship_sp(
+        variables["params"],
+        shard_points(jnp.asarray(src), mesh),
+        shard_points(jnp.asarray(tgt), mesh),
+        mesh, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+    )
+    np.testing.assert_allclose(
+        np.asarray(R), np.asarray(out_ref[2]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(t), np.asarray(out_ref[3]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(corr), np.asarray(out_ref[1]), atol=1e-3
+    )
+
+
+def test_flagship_sp_partial_matches_model():
+    mesh = make_mesh()
+    cfg = Config(
+        num_points=N, emb_dims=E, ff_dims=128, partial=True, overlap=0.575
+    )
+    n = cfg.n_cropped - (cfg.n_cropped % mesh.devices.size)
+    model = VCRNet(cfg=cfg)
+    rng = np.random.RandomState(3)
+    src = rng.rand(B, n, 3).astype(np.float32) - 0.5
+    tgt = rng.rand(B, n, 3).astype(np.float32) - 0.5
+    variables = model.init(jax.random.PRNGKey(0), src[:1], tgt[:1])
+
+    out_ref = model.apply(variables, jnp.asarray(src), jnp.asarray(tgt))
+    src_k, corr, R, t = register_flagship_sp(
+        variables["params"],
+        shard_points(jnp.asarray(src), mesh),
+        shard_points(jnp.asarray(tgt), mesh),
+        mesh, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+        partial_mode=True, overlap2=cfg.overlap2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(src_k), np.asarray(out_ref[0]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(corr), np.asarray(out_ref[1]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(R), np.asarray(out_ref[2]), atol=1e-3
+    )
+
+
+def test_sp_gradients_match_single_device(setup):
+    cfg, model, variables, src, tgt, mesh = setup
+    R_gt = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    t_gt = np.zeros((B, 3), np.float32)
+
+    def loss_ref(params):
+        out = model.apply({"params": params}, jnp.asarray(src), jnp.asarray(tgt))
+        src_k, corr = out[0], out[1]
+        moved = (
+            jnp.einsum("bij,bnj->bni", jnp.asarray(R_gt), src_k)
+            + jnp.asarray(t_gt)[:, None, :]
+        )
+        return jnp.mean((moved - corr) ** 2)
+
+    def loss_sp(params):
+        return sp_train_loss(
+            params,
+            shard_points(jnp.asarray(src), mesh),
+            shard_points(jnp.asarray(tgt), mesh),
+            jnp.asarray(R_gt), jnp.asarray(t_gt), mesh,
+            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+        )
+
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    g_sp = jax.grad(loss_sp)(variables["params"])
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_sp = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(g_sp)
+    }
+    checked = 0
+    for key, ref in flat_ref:
+        ks = jax.tree_util.keystr(key)
+        sp = flat_sp[ks]
+        np.testing.assert_allclose(
+            np.asarray(sp), np.asarray(ref), atol=5e-4,
+            err_msg=f"grad mismatch at {ks}",
+        )
+        checked += 1
+    assert checked > 20  # embedding + pointer params all covered
+    # and the gradients are non-trivial
+    total = sum(
+        float(np.abs(np.asarray(v)).sum())
+        for v in jax.tree_util.tree_leaves(g_sp)
+    )
+    assert total > 0
+
+
+def test_sp_gradients_partial_mode_finite():
+    mesh = make_mesh()
+    cfg = Config(
+        num_points=N, emb_dims=E, ff_dims=128, partial=True, overlap=0.575
+    )
+    n = cfg.n_cropped - (cfg.n_cropped % mesh.devices.size)
+    model = VCRNet(cfg=cfg)
+    rng = np.random.RandomState(5)
+    src = rng.rand(B, n, 3).astype(np.float32) - 0.5
+    tgt = rng.rand(B, n, 3).astype(np.float32) - 0.5
+    variables = model.init(jax.random.PRNGKey(0), src[:1], tgt[:1])
+    R_gt = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
+    t_gt = jnp.zeros((B, 3), jnp.float32)
+
+    def loss_sp(params):
+        return sp_train_loss(
+            params,
+            shard_points(jnp.asarray(src), mesh),
+            shard_points(jnp.asarray(tgt), mesh),
+            R_gt, t_gt, mesh,
+            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+            partial_mode=True, overlap2=cfg.overlap2,
+        )
+
+    g = jax.grad(loss_sp)(variables["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))

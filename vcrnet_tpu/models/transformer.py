@@ -68,40 +68,13 @@ def _remask_topk_keys(scores: jax.Array, p_attn: jax.Array, keep_k: int):
 
 def _flash(q, k, v, sm_scale):
     """Pallas flash attention with one-shot blocks (at N<=1024, D=128
-    everything fits in VMEM; measured 6x over the library defaults). Both
-    sequence axes are padded to lane multiples when needed — padded keys are
-    masked out via segment ids, padded query rows are sliced off."""
-    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+    everything fits in VMEM; measured 6x over the library defaults) and a
+    custom fused ONE-PASS backward (ops/pallas_attention.py — the stock
+    backward runs two kernels each redoing the softmax recompute). Padding
+    to lane multiples is handled inside flash_mha."""
+    from vcrnet_tpu.ops.pallas_attention import flash_mha
 
-    B, H, Nq, D = q.shape
-    Nk = k.shape[2]
-    pad_q = (-Nq) % 128
-    pad_k = (-Nk) % 128
-    seg = None
-    if pad_q:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-    if pad_k:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-        kv_seg = jnp.concatenate(
-            [jnp.zeros((B, Nk), jnp.int32), jnp.ones((B, pad_k), jnp.int32)],
-            axis=1,
-        )
-        seg = fa.SegmentIds(
-            q=jnp.zeros((B, Nq + pad_q), jnp.int32), kv=kv_seg
-        )
-    bq = next(t for t in (1024, 512, 256, 128) if (Nq + pad_q) % t == 0)
-    bk = next(t for t in (1024, 512, 256, 128) if (Nk + pad_k) % t == 0)
-    bs = fa.BlockSizes(
-        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=bk,
-        block_k_dkv=bk, block_q_dkv=bq,
-        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
-    )
-    out = fa.flash_attention(
-        q, k, v, segment_ids=seg, sm_scale=sm_scale, block_sizes=bs
-    )
-    return out[:, :, :Nq, :] if pad_q else out
+    return flash_mha(q, k, v, sm_scale)
 
 
 class MultiHeadAttention(nn.Module):

@@ -378,8 +378,10 @@ def _fused_edge_conv_bwd(k, negative_slope, tile_q, interpret, res, cts):
     ct1, ct2 = cts
     B, N, F = a.shape
     tile_q = _pick_tile(N, tile_q)
-    # the backward materialises the full [k*TQ, N] one-hot (no fori_loop)
-    tile_q = _vmem_guard_tile(tile_q, k, N, a.dtype.itemsize)
+    # the backward materialises the full [k*TQ, N] one-hot (no fori_loop).
+    # 6 MB budget: keeps the proven tile 128 at (k=20, N=1024, bf16)
+    # [5.2 MB] while still shrinking at N>=2048 where Mosaic would fail
+    tile_q = _vmem_guard_tile(tile_q, k, N, a.dtype.itemsize, budget=6 << 20)
     kernel = functools.partial(
         _edge_conv_bwd_kernel, k=k, tile_q=tile_q, slope=negative_slope, n=N
     )
@@ -511,8 +513,11 @@ def _fused_gather_max_bwd(k, tile_q, interpret, res, cts):
     idx, values, out, zero_x = res
     B, N, F = values.shape
     tile_q = _pick_tile(N, tile_q)
-    # the backward materialises the full [k*TQ, N] one-hot (no fori_loop)
-    tile_q = _vmem_guard_tile(tile_q, k, N, values.dtype.itemsize)
+    # the backward materialises the full [k*TQ, N] one-hot (no fori_loop);
+    # 6 MB budget — see _fused_edge_conv_bwd
+    tile_q = _vmem_guard_tile(
+        tile_q, k, N, values.dtype.itemsize, budget=6 << 20
+    )
     kernel = functools.partial(
         _gather_max_bwd_kernel, k=k, tile_q=tile_q, n=N
     )

@@ -80,46 +80,46 @@ def lpdnet_embed_sp(
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(_points_spec(),), out_specs=_points_spec(),
+        # params enter as an explicit REPLICATED input (P() prefix spec) so
+        # jax.grad can flow through the shard_map (closed-over tracers
+        # don't differentiate)
+        in_specs=(P(), _points_spec()), out_specs=_points_spec(),
     )
-    def f(x_local):
+    def f(ep, x_local):
         act = lambda v: _leaky(v, negative_slope)
         x0 = x_local
-        feat = act(_dense(emb_params["conv1_lpd"], x_local))
-        feat = act(_dense(emb_params["conv2_lpd"], feat))
+        feat = act(_dense(ep["conv1_lpd"], x_local))
+        feat = act(_dense(ep["conv2_lpd"], feat))
 
         # dynamic graph in feature space (reference convDG1/convDG2),
         # decomposed form: W @ [neighbor; center] = a[j] + h[i]
-        kdg = emb_params["convDG1"]["kernel"]
+        kdg = ep["convDG1"]["kernel"]
         c = feat.shape[-1]
         a_loc = feat @ kdg[:c]
-        h_loc = feat @ kdg[c:] + emb_params["convDG1"]["bias"]
+        h_loc = feat @ kdg[c:] + ep["convDG1"]["bias"]
         feat_full = jax.lax.all_gather(feat, "data", axis=1, tiled=True)
         a_full = jax.lax.all_gather(a_loc, "data", axis=1, tiled=True)
         idx_f = _local_knn(feat, feat_full, k)
         z = act(_g.gather_neighbors(a_full, idx_f) + h_loc[:, :, None, :])
         x1 = z.max(axis=2)
-        z = act(
-            z @ emb_params["convDG2"]["kernel"]
-            + emb_params["convDG2"]["bias"]
-        )
+        z = act(z @ ep["convDG2"]["kernel"] + ep["convDG2"]["bias"])
         x2 = z.max(axis=2)
 
         # spatial neighborhood fusion on ORIGINAL xyz (reference convSN1),
         # fused to gather-max by monotonicity of leaky_relu
-        ksn = emb_params["convSN1"]["kernel"]
+        ksn = ep["convSN1"]["kernel"]
         c2 = x2.shape[-1]
         a2_loc = x2 @ ksn[:c2]
-        h2_loc = x2 @ ksn[c2:] + emb_params["convSN1"]["bias"]
+        h2_loc = x2 @ ksn[c2:] + ep["convSN1"]["bias"]
         x_full = jax.lax.all_gather(x0, "data", axis=1, tiled=True)
         a2_full = jax.lax.all_gather(a2_loc, "data", axis=1, tiled=True)
         idx_s = _local_knn(x0, x_full, k)
         x3 = act(_g.gather_neighbors(a2_full, idx_s).max(axis=2) + h2_loc)
 
         cat = jnp.concatenate([x1, x2, x3], axis=-1)
-        return act(_dense(emb_params["conv3_lpd"], cat))
+        return act(_dense(ep["conv3_lpd"], cat))
 
-    return f(x)
+    return f(emb_params, x)
 
 
 def register_whole_sp(
