@@ -1,6 +1,7 @@
 """Ops unit tests: kNN/kFN vs brute-force numpy, gather, FPS semantics."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vcrnet_tpu import ops
@@ -111,7 +112,9 @@ class TestPallasKnn:
         rng = np.random.RandomState(7)
         x = jnp.asarray(rng.rand(2, 256, 16).astype(np.float32))
         exact = np.asarray(ops.knn(x, 8, method="exact"))
-        fused = np.asarray(fused_knn(x, 8, interpret=True))
+        fused = np.asarray(
+            fused_knn(x, 8, interpret=True, packed_select=False)
+        )
         # neighbor sets identical (ordering may differ only on exact ties)
         same = np.mean(
             [
@@ -121,6 +124,40 @@ class TestPallasKnn:
             ]
         )
         assert same == 1.0
+
+    def test_packed_select_matches_argmax_on_separated_scores(self):
+        # packed selection compares scores at >=13 mantissa bits; integer
+        # coordinates give integer scores < 2^13 (exactly representable,
+        # immune to the low-bit clearing), so packed must agree with the
+        # exact-argmax path EXACTLY — including first-index order on
+        # genuine ties (duplicate integer distances occur in this data)
+        from vcrnet_tpu.ops.pallas_knn import fused_knn
+
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(
+            rng.randint(-5, 6, size=(2, 256, 16)).astype(np.float32)
+        )
+        a = np.asarray(fused_knn(x, 8, interpret=True, packed_select=False))
+        b = np.asarray(fused_knn(x, 8, interpret=True, packed_select=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_packed_select_overlap_on_f32_random(self):
+        # on raw-f32 random data near-ties below ~2^-13 relative may flip;
+        # the neighbor sets must still agree almost everywhere
+        from vcrnet_tpu.ops.pallas_knn import fused_knn
+
+        rng = np.random.RandomState(10)
+        x = jnp.asarray(rng.rand(2, 256, 16).astype(np.float32))
+        a = np.asarray(fused_knn(x, 8, interpret=True, packed_select=False))
+        b = np.asarray(fused_knn(x, 8, interpret=True, packed_select=True))
+        same = np.mean(
+            [
+                len(set(a[i, n]) & set(b[i, n])) / 8.0
+                for i in range(2)
+                for n in range(256)
+            ]
+        )
+        assert same > 0.995
 
     def test_auto_method_selects_exact_on_cpu(self):
         import jax
@@ -191,6 +228,53 @@ class TestPallasEdgeConv:
         out = gather_max_from_idx(idx, a, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
+    def test_int8_gather_matches_quantized_reference(self):
+        # int8 one-hot gather == gather of the per-channel-quantized table
+        # (the matmul itself adds NO error: each output row copies one row)
+        from vcrnet_tpu.ops.pallas_edgeconv import (
+            fused_knn_gather_max, gather_max_from_idx,
+        )
+
+        x, a, h, w2, b2, k = self._setup()
+        out8 = fused_knn_gather_max(
+            x, a, k=k, interpret=True, int8_gather=True
+        )
+        # quantize the table the same way, then run the exact path
+        a32 = np.asarray(a, np.float32)
+        scale = np.abs(a32).max(axis=1, keepdims=True) / 127.0 + 1e-30
+        aq = jnp.asarray(np.round(a32 / scale) * scale)
+        ref = fused_knn_gather_max(x, aq, k=k, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out8), np.asarray(ref), atol=1e-5
+        )
+        # error vs the unquantized path bounded by table quantization
+        ref_full = fused_knn_gather_max(x, a, k=k, interpret=True)
+        err = np.abs(np.asarray(out8) - np.asarray(ref_full)).max()
+        assert err <= (np.abs(a32).max() / 127.0) * 0.51 + 1e-6
+
+        idx = ops.knn(x, k, method="exact")
+        out8i = gather_max_from_idx(idx, a, interpret=True, int8_gather=True)
+        refi = gather_max_from_idx(idx, aq, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out8i), np.asarray(refi), atol=1e-5
+        )
+
+    def test_int8_gather_refuses_gradients(self):
+        import jax
+        from vcrnet_tpu.ops.pallas_edgeconv import fused_knn_gather_max
+
+        x, a, h, w2, b2, k = self._setup()
+
+        def loss(a_):
+            return jnp.sum(
+                fused_knn_gather_max(
+                    x, a_, k=k, interpret=True, int8_gather=True
+                )
+            )
+
+        with pytest.raises(NotImplementedError):
+            jax.grad(loss)(a)
+
     def test_vmem_guard_tile_constraints(self):
         # (ADVICE r1) shrink under pressure, but never below a multiple of 8
         # that divides N — and the backward wrappers must apply the guard
@@ -219,7 +303,14 @@ class TestPallasEdgeConv:
         idx = ops.knn(x, k, method="exact")
 
         def loss_pallas(a_):
-            return jnp.sum(fused_knn_gather_max(x, a_, k=k, interpret=True) * ct)
+            # packed_select=False: the XLA reference grad uses exact-f32
+            # kNN indices; this test targets the VMEM tile guard
+            return jnp.sum(
+                fused_knn_gather_max(
+                    x, a_, k=k, interpret=True, packed_select=False
+                )
+                * ct
+            )
 
         def loss_xla(a_):
             return jnp.sum(ops.gather_max_neighbors(a_, idx) * ct)

@@ -177,12 +177,16 @@ class LPDNet(nn.Module):
         if self.dtype is not None:
             k2 = k2.astype(self.dtype)
             b2 = b2.astype(self.dtype)
+        # int8 one-hot gathers: eval only — the training backward
+        # value-matches a bf16 recompute (ops/pallas_edgeconv.py)
+        int8_gather = not train
         if use_fused:
             from vcrnet_tpu.ops.pallas_edgeconv import fused_edge_conv
 
             x1, x2 = fused_edge_conv(
                 x, a, h, k2, b2, k=self.k,
                 negative_slope=self.negative_slope,
+                int8_gather=int8_gather,
             )
         else:
             idx_f = knn(
@@ -203,12 +207,18 @@ class LPDNet(nn.Module):
             if spatial_idx is not None:
                 from vcrnet_tpu.ops.pallas_edgeconv import gather_max_from_idx
 
-                x3 = act(gather_max_from_idx(spatial_idx, a2) + h2)
+                x3 = act(
+                    gather_max_from_idx(
+                        spatial_idx, a2, int8_gather=int8_gather
+                    )
+                    + h2
+                )
             else:
                 from vcrnet_tpu.ops.pallas_edgeconv import fused_knn_gather_max
 
                 gm, sn_idx = fused_knn_gather_max(
-                    x_init_3d, a2, k=self.k, return_idx=True
+                    x_init_3d, a2, k=self.k, return_idx=True,
+                    int8_gather=int8_gather,
                 )
                 x3 = act(gm + h2)
                 # expose the spatial selection so eval refinement loops can

@@ -49,9 +49,72 @@ def _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q):
     return scores, col_ids
 
 
+def _idx_mask(n: int) -> int:
+    """Low-bit index field width for packed selection (>= 10 bits)."""
+    return (1 << max(10, (n - 1).bit_length())) - 1
+
+
+def _pack_scores(scores, col_ids, n: int):
+    """Pack f32 scores + column index into ONE sortable int32 per entry:
+    the f32 bits (monotone-mapped so integer compare == float compare) with
+    the low index-field bits replaced by the REVERSED column index.
+
+    One plain max-reduce then yields both the winning score and its column
+    (ties break to the SMALLEST column — torch argmax semantics), replacing
+    the argmax+compare chain: measured 14.2 -> 9.0 ms on the selection loop
+    at B=128, N=1024, k=20. Cost: scores compare at ~13 mantissa bits
+    (22 at N<=1024) instead of 23 — selection can differ from exact f32
+    argsort only for scores within ~2^-13 relative, below the bf16 input
+    noise that produced them."""
+    mask = _idx_mask(n)
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    sortable = jnp.where(
+        bits >= 0, bits, jnp.bitwise_xor(bits, jnp.int32(0x7FFFFFFF))
+    )
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(sortable, jnp.int32(~mask)),
+        jnp.int32(mask) - col_ids,
+    )
+    return packed, jnp.int32(mask)
+
+
+def _packed_pop_max(packed, mask):
+    """One selection step: returns (sel, col, packed') where sel is the
+    unique one-hot row mask of the max entry, col its column index, and
+    packed' has it masked out."""
+    m = jnp.max(packed, axis=1)  # [TQ]
+    col = mask - jnp.bitwise_and(m, mask)
+    sel = packed == m[:, None]  # unique: packed values are distinct per row
+    packed = jnp.where(sel, jnp.int32(-(2**31)), packed)
+    return sel, col, packed
+
+
+def _quantize_channels(values):
+    """Per-channel symmetric int8 quantization of a [N, F] value table.
+    The one-hot gather of an int8 table is EXACT in the quantized domain
+    (each output row copies one table row), so the only error is the
+    table's own rounding (<= scale/2 per entry, ~0.4% of channel max);
+    the int8 x int8 -> int32 matmul runs the MXU at twice bf16 rate."""
+    v32 = values.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(v32), axis=0) / 127.0 + 1e-30  # [F]
+    v8 = jnp.round(v32 / scale).astype(jnp.int8)
+    return v8, scale
+
+
+def _gather_rows(sel, values, v8, scale, int8_gather: bool):
+    """One-hot gather of the max-selected rows: [TQ, N] sel x [N, F]."""
+    if int8_gather:
+        g8 = jnp.dot(sel.astype(jnp.int8), v8,
+                     preferred_element_type=jnp.int32)
+        return g8.astype(jnp.float32) * scale
+    return jnp.dot(sel.astype(values.dtype), values,
+                   preferred_element_type=jnp.float32)
+
+
 def _edge_conv_kernel(
     x_q_ref, x_k_ref, norms_ref, a_ref, h_ref, w2_ref, b2_ref,
     x1_ref, x2_ref, idx_ref, *, k: int, tile_q: int, slope: float,
+    packed_select: bool, int8_gather: bool,
 ):
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
     a_full = a_ref[0]  # [N, F]
@@ -59,11 +122,15 @@ def _edge_conv_kernel(
     w2 = w2_ref[:]  # [F, F]
     b2 = b2_ref[0]  # [F]
 
+    n = a_full.shape[0]
     f = a_full.shape[-1]
     neg_inf = jnp.float32(-jnp.inf)
     h32 = h.astype(jnp.float32)
     b32 = b2.astype(jnp.float32)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
+    if packed_select:
+        scores, mask = _pack_scores(scores, col_ids, n)
+    a8, a_scale = _quantize_channels(a_full) if int8_gather else (None, None)
 
     def leaky(v):
         return jnp.where(v >= 0, v, v * slope)
@@ -72,11 +139,13 @@ def _edge_conv_kernel(
     # compile time) independent of k
     def body(j, carry):
         scores, x1, x2, idx = carry
-        amax = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
-        sel = col_ids == amax[:, None]
-        scores = jnp.where(sel, neg_inf, scores)
-        onehot = sel.astype(a_full.dtype)
-        g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
+        if packed_select:
+            sel, amax, scores = _packed_pop_max(scores, mask)
+        else:
+            amax = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
+            sel = col_ids == amax[:, None]
+            scores = jnp.where(sel, neg_inf, scores)
+        g = _gather_rows(sel, a_full, a8, a_scale, int8_gather)
         z = leaky(g + h32)
         x1 = jnp.maximum(x1, z)
         y = leaky(
@@ -105,21 +174,27 @@ def _edge_conv_kernel(
 
 def _gather_max_kernel(
     x_q_ref, x_k_ref, norms_ref, v_ref, out_ref, idx_ref,
-    *, k: int, tile_q: int,
+    *, k: int, tile_q: int, packed_select: bool, int8_gather: bool,
 ):
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
     values = v_ref[0]  # [N, F]
+    n = values.shape[0]
     f = values.shape[-1]
     neg_inf = jnp.float32(-jnp.inf)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
+    if packed_select:
+        scores, mask = _pack_scores(scores, col_ids, n)
+    v8, v_scale = _quantize_channels(values) if int8_gather else (None, None)
 
     def body(j, carry):
         scores, gmax, idx = carry
-        amax = jnp.argmax(scores, axis=1).astype(jnp.int32)
-        sel = col_ids == amax[:, None]
-        scores = jnp.where(sel, neg_inf, scores)
-        onehot = sel.astype(values.dtype)
-        g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
+        if packed_select:
+            sel, amax, scores = _packed_pop_max(scores, mask)
+        else:
+            amax = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            sel = col_ids == amax[:, None]
+            scores = jnp.where(sel, neg_inf, scores)
+        g = _gather_rows(sel, values, v8, v_scale, int8_gather)
         gmax = jnp.maximum(gmax, g)
         idx = jnp.where(k_ids == j, amax[:, None], idx)
         return scores, gmax, idx
@@ -265,7 +340,7 @@ def _edge_conv_bwd_kernel(
 
 
 def _gather_max_from_idx_kernel(
-    idx_ref, v_ref, out_ref, *, k: int, tile_q: int,
+    idx_ref, v_ref, out_ref, *, k: int, tile_q: int, int8_gather: bool,
 ):
     """Forward gather-max given PRECOMPUTED neighbor indices: no score
     matmul, no k-step argmax — the k gathers run as ONE [k*TQ, N] one-hot
@@ -276,8 +351,14 @@ def _gather_max_from_idx_kernel(
     idx = idx_ref[0]  # [TQ, k]
     values = v_ref[0]  # [N, F]
     n = values.shape[0]
-    onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
-    g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
+    if int8_gather:
+        v8, scale = _quantize_channels(values)
+        onehot = _kmajor_onehot(idx, n, k, tile_q, jnp.int8)
+        g = jnp.dot(onehot, v8, preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * scale
+    else:
+        onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
+        g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
     m = g[0:tile_q]
     for j in range(1, k):
         m = jnp.maximum(m, g[j * tile_q:(j + 1) * tile_q])
@@ -344,36 +425,59 @@ def _vmem_guard_tile(tile_q, k, n, itemsize, budget=4 << 20):
 def fused_edge_conv(
     x, a, h, w2, b2, k: int = 20, negative_slope: float = 0.0,
     tile_q: int = 128, interpret: bool = False,
+    packed_select: bool = True, int8_gather: bool = False,
 ):
     """x [B,N,C] (distance space), a/h [B,N,F], w2 [F,F], b2 [F]
     -> (x1, x2) each [B, N, F] in a's dtype.
 
     Differentiable: custom VJP with a Pallas backward kernel (grads wrt
     a, h, w2, b2; x gets zeros — kNN indices carry no gradient, like
-    torch.topk)."""
+    torch.topk). ``packed_select=False`` selects by exact-f32 argmax
+    (slower; see _pack_scores). ``int8_gather`` runs the one-hot gather
+    matmuls int8 x int8 -> int32 (2x MXU rate; table-quantization error
+    only) — EVAL ONLY: the backward's value-match recompute assumes the
+    bf16 forward, so callers must keep it False when differentiating."""
     return _fused_edge_conv_vjp(
-        x, a, h, w2, b2, k, negative_slope, tile_q, interpret
+        x, a, h, w2, b2, k, negative_slope, tile_q, interpret,
+        packed_select, int8_gather,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _fused_edge_conv_vjp(x, a, h, w2, b2, k, negative_slope, tile_q, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _fused_edge_conv_vjp(
+    x, a, h, w2, b2, k, negative_slope, tile_q, interpret, packed_select,
+    int8_gather,
+):
     x1, x2, _ = _fused_edge_conv_fwd_impl(
-        x, a, h, w2, b2, k, negative_slope, tile_q, interpret
+        x, a, h, w2, b2, k, negative_slope, tile_q, interpret,
+        packed_select, int8_gather,
     )
     return x1, x2
 
 
-def _fused_edge_conv_fwd(x, a, h, w2, b2, k, negative_slope, tile_q, interpret):
+def _fused_edge_conv_fwd(
+    x, a, h, w2, b2, k, negative_slope, tile_q, interpret, packed_select,
+    int8_gather,
+):
+    if int8_gather:
+        raise NotImplementedError(
+            "int8_gather is an eval-only fast path: the Pallas backward "
+            "value-matches a bf16 recompute (use int8_gather=False when "
+            "taking gradients)"
+        )
     x1, x2, idx = _fused_edge_conv_fwd_impl(
-        x, a, h, w2, b2, k, negative_slope, tile_q, interpret
+        x, a, h, w2, b2, k, negative_slope, tile_q, interpret,
+        packed_select, int8_gather,
     )
     # zeros_like(x) residual: a free broadcast after DCE, returned as x's
     # (identically zero) cotangent — kNN indices carry no gradient
     return (x1, x2), (idx, a, h, w2, b2, x1, x2, jnp.zeros_like(x))
 
 
-def _fused_edge_conv_bwd(k, negative_slope, tile_q, interpret, res, cts):
+def _fused_edge_conv_bwd(
+    k, negative_slope, tile_q, interpret, packed_select, int8_gather,
+    res, cts,
+):
     idx, a, h, w2, b2, x1, x2, zero_x = res
     ct1, ct2 = cts
     B, N, F = a.shape
@@ -438,13 +542,15 @@ _fused_edge_conv_vjp.defvjp(_fused_edge_conv_fwd, _fused_edge_conv_bwd)
 
 def _fused_edge_conv_fwd_impl(
     x, a, h, w2, b2, k: int, negative_slope: float,
-    tile_q: int, interpret: bool,
+    tile_q: int, interpret: bool, packed_select: bool = True,
+    int8_gather: bool = False,
 ):
     B, N, C = x.shape
     F = a.shape[-1]
     tile_q = _pick_tile(N, tile_q)
     kernel = functools.partial(
-        _edge_conv_kernel, k=k, tile_q=tile_q, slope=negative_slope
+        _edge_conv_kernel, k=k, tile_q=tile_q, slope=negative_slope,
+        packed_select=packed_select, int8_gather=int8_gather,
     )
     out_sds = jax.ShapeDtypeStruct((B, N, F), a.dtype)
     # selection indices [B, N, k] (consumed by the backward)
@@ -484,7 +590,8 @@ def _fused_edge_conv_fwd_impl(
 
 def fused_knn_gather_max(
     x, values, k: int = 20, tile_q: int = 128, interpret: bool = False,
-    return_idx: bool = False,
+    return_idx: bool = False, packed_select: bool = True,
+    int8_gather: bool = False,
 ):
     """x [B,N,C] (distance space), values [B,N,F]
     -> [B, N, F]: per point, channel-wise max of values over its k nearest
@@ -493,22 +600,39 @@ def fused_knn_gather_max(
     reuse the selection (e.g. across eval refinement iterations).
 
     Differentiable wrt ``values`` via a Pallas backward kernel (x gets
-    zeros — kNN indices carry no gradient)."""
-    out, idx = _fused_gather_max_vjp(x, values, k, tile_q, interpret)
+    zeros — kNN indices carry no gradient). ``int8_gather`` is EVAL ONLY
+    (see fused_edge_conv)."""
+    out, idx = _fused_gather_max_vjp(
+        x, values, k, tile_q, interpret, packed_select, int8_gather
+    )
     return (out, idx) if return_idx else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_gather_max_vjp(x, values, k, tile_q, interpret):
-    return _fused_gather_max_impl(x, values, k, tile_q, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _fused_gather_max_vjp(
+    x, values, k, tile_q, interpret, packed_select, int8_gather
+):
+    return _fused_gather_max_impl(
+        x, values, k, tile_q, interpret, packed_select, int8_gather
+    )
 
 
-def _fused_gather_max_fwd(x, values, k, tile_q, interpret):
-    out, idx = _fused_gather_max_impl(x, values, k, tile_q, interpret)
+def _fused_gather_max_fwd(
+    x, values, k, tile_q, interpret, packed_select, int8_gather
+):
+    if int8_gather:
+        raise NotImplementedError(
+            "int8_gather is an eval-only fast path (see fused_edge_conv)"
+        )
+    out, idx = _fused_gather_max_impl(
+        x, values, k, tile_q, interpret, packed_select, int8_gather
+    )
     return (out, idx), (idx, values, out, jnp.zeros_like(x))
 
 
-def _fused_gather_max_bwd(k, tile_q, interpret, res, cts):
+def _fused_gather_max_bwd(
+    k, tile_q, interpret, packed_select, int8_gather, res, cts
+):
     ct = cts[0]  # the idx output is int32 -> float0 cotangent, unused
     idx, values, out, zero_x = res
     B, N, F = values.shape
@@ -547,34 +671,45 @@ _fused_gather_max_vjp.defvjp(_fused_gather_max_fwd, _fused_gather_max_bwd)
 
 
 def gather_max_from_idx(
-    idx, values, tile_q: int = 128, interpret: bool = False
+    idx, values, tile_q: int = 128, interpret: bool = False,
+    int8_gather: bool = False,
 ):
     """idx [B, N, k] int32, values [B, N, F] -> [B, N, F]:
     out[b, i] = channel-wise max of values[b, idx[b, i, :]].
 
     The from-indices twin of fused_knn_gather_max (same output given
     idx = knn(x)), skipping the distance matmul and the k-step argmax.
-    Differentiable wrt ``values`` (idx carries no gradient)."""
-    return _gather_max_from_idx_vjp(idx, values, tile_q, interpret)
+    Differentiable wrt ``values`` (idx carries no gradient).
+    ``int8_gather`` is EVAL ONLY (see fused_edge_conv)."""
+    return _gather_max_from_idx_vjp(idx, values, tile_q, interpret,
+                                    int8_gather)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gather_max_from_idx_vjp(idx, values, tile_q, interpret):
-    return _gather_max_from_idx_impl(idx, values, tile_q, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _gather_max_from_idx_vjp(idx, values, tile_q, interpret, int8_gather):
+    return _gather_max_from_idx_impl(
+        idx, values, tile_q, interpret, int8_gather
+    )
 
 
-def _gather_max_from_idx_fwd(idx, values, tile_q, interpret):
-    out = _gather_max_from_idx_impl(idx, values, tile_q, interpret)
+def _gather_max_from_idx_fwd(idx, values, tile_q, interpret, int8_gather):
+    if int8_gather:
+        raise NotImplementedError(
+            "int8_gather is an eval-only fast path (see fused_edge_conv)"
+        )
+    out = _gather_max_from_idx_impl(
+        idx, values, tile_q, interpret, int8_gather
+    )
     return out, (idx, values, out)
 
 
-def _gather_max_from_idx_bwd(tile_q, interpret, res, ct):
+def _gather_max_from_idx_bwd(tile_q, interpret, int8_gather, res, ct):
     import numpy as np
 
     idx, values, out = res
     # same VJP as fused_knn_gather_max, driven by the saved indices
     _, dv = _fused_gather_max_bwd(
-        idx.shape[-1], tile_q, interpret,
+        idx.shape[-1], tile_q, interpret, True, False,
         (idx, values, out, jnp.zeros(idx.shape[:2] + (1,), values.dtype)),
         (ct, None),
     )
@@ -587,15 +722,20 @@ _gather_max_from_idx_vjp.defvjp(
 )
 
 
-def _gather_max_from_idx_impl(idx, values, tile_q, interpret):
+def _gather_max_from_idx_impl(
+    idx, values, tile_q, interpret, int8_gather: bool = False
+):
     B, N, k = idx.shape
     F = values.shape[-1]
     tile_q = _pick_tile(N, tile_q)
     # VMEM guard: unlike the fused kernel's fori_loop (one [TQ, N] one-hot
     # live at a time), this kernel materialises the full [k*TQ, N] one-hot
-    tile_q = _vmem_guard_tile(tile_q, k, N, values.dtype.itemsize)
+    tile_q = _vmem_guard_tile(
+        tile_q, k, N, 1 if int8_gather else values.dtype.itemsize
+    )
     kernel = functools.partial(
-        _gather_max_from_idx_kernel, k=k, tile_q=tile_q
+        _gather_max_from_idx_kernel, k=k, tile_q=tile_q,
+        int8_gather=int8_gather,
     )
     return pl.pallas_call(
         kernel,
@@ -615,12 +755,16 @@ def _gather_max_from_idx_impl(idx, values, tile_q, interpret):
 
 
 def _fused_gather_max_impl(
-    x, values, k: int, tile_q: int, interpret: bool
+    x, values, k: int, tile_q: int, interpret: bool,
+    packed_select: bool = True, int8_gather: bool = False,
 ):
     B, N, C = x.shape
     F = values.shape[-1]
     tile_q = _pick_tile(N, tile_q)
-    kernel = functools.partial(_gather_max_kernel, k=k, tile_q=tile_q)
+    kernel = functools.partial(
+        _gather_max_kernel, k=k, tile_q=tile_q,
+        packed_select=packed_select, int8_gather=int8_gather,
+    )
     idx_sds = jax.ShapeDtypeStruct((B, N, k), jnp.int32)
     return pl.pallas_call(
         kernel,

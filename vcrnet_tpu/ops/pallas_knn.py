@@ -26,7 +26,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _knn_kernel(x_q_ref, x_k_ref, norms_ref, out_ref, *, k: int, tile_q: int):
+def _knn_kernel(
+    x_q_ref, x_k_ref, norms_ref, out_ref, *, k: int, tile_q: int,
+    packed_select: bool,
+):
+    from vcrnet_tpu.ops.pallas_edgeconv import (
+        _pack_scores, _packed_pop_max,
+    )
+
     q = x_q_ref[0]  # [TQ, C]
     keys = x_k_ref[0]  # [N, C]
     n = keys.shape[0]
@@ -42,26 +49,32 @@ def _knn_kernel(x_q_ref, x_k_ref, norms_ref, out_ref, *, k: int, tile_q: int):
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, n), 1)
     neg_inf = jnp.float32(-jnp.inf)
     scores = jnp.where(col_ids == row_ids, neg_inf, scores)
+    if packed_select:
+        scores, mask = _pack_scores(scores, col_ids, n)
 
-    # k-step iterative argmax extraction; fori_loop (not a python unroll)
+    # k-step iterative max extraction; fori_loop (not a python unroll)
     # keeps the Mosaic program size (and compile time) independent of k
     def body(j, carry):
         scores, out = carry
-        a = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
-        sel = col_ids == a[:, None]
-        scores = jnp.where(sel, neg_inf, scores)
+        if packed_select:
+            _, a, scores = _packed_pop_max(scores, mask)
+        else:
+            a = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
+            sel = col_ids == a[:, None]
+            scores = jnp.where(sel, neg_inf, scores)
         k_ids = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
         out = jnp.where(k_ids == j, a[:, None], out)
         return scores, out
 
-    out0 = jnp.zeros((scores.shape[0], k), jnp.int32)
+    out0 = jnp.zeros((tile_q, k), jnp.int32)
     _, out = jax.lax.fori_loop(0, k, body, (scores, out0))
     out_ref[0] = out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def fused_knn(
-    x: jax.Array, k: int = 20, tile_q: int = 128, interpret: bool = False
+    x: jax.Array, k: int = 20, tile_q: int = 128, interpret: bool = False,
+    packed_select: bool = True,
 ) -> jax.Array:
     """x: [B, N, C] -> [B, N, k] int32 nearest-neighbor indices (no self).
 
@@ -69,16 +82,21 @@ def fused_knn(
     Differentiation: neighbor indices carry no gradient (identical to the
     reference's torch.topk indices), so the VJP is zero — declared via
     custom_vjp because raw pallas_call has no autodiff rule.
+    ``packed_select`` trades the exact-f32 argmax chain for a single packed
+    int32 max per step (see pallas_edgeconv._pack_scores).
     """
-    return _fused_knn_impl(x, k, tile_q, interpret)
+    return _fused_knn_impl(x, k, tile_q, interpret, packed_select)
 
 
-def _fused_knn_fwd(x, k, tile_q, interpret):
+def _fused_knn_fwd(x, k, tile_q, interpret, packed_select):
     # residual: a zero array carrying x's shape/dtype (free after XLA DCE)
-    return _fused_knn_impl(x, k, tile_q, interpret), jnp.zeros_like(x)
+    return (
+        _fused_knn_impl(x, k, tile_q, interpret, packed_select),
+        jnp.zeros_like(x),
+    )
 
 
-def _fused_knn_bwd(k, tile_q, interpret, res, _ct):
+def _fused_knn_bwd(k, tile_q, interpret, packed_select, res, _ct):
     return (res,)
 
 
@@ -86,7 +104,8 @@ fused_knn.defvjp(_fused_knn_fwd, _fused_knn_bwd)
 
 
 def _fused_knn_impl(
-    x: jax.Array, k: int, tile_q: int, interpret: bool
+    x: jax.Array, k: int, tile_q: int, interpret: bool,
+    packed_select: bool = True,
 ) -> jax.Array:
     B, N, C = x.shape
     if N % tile_q != 0:
@@ -98,7 +117,9 @@ def _fused_knn_impl(
         x.astype(jnp.float32) * x.astype(jnp.float32), axis=-1
     )[:, None, :]
 
-    kernel = functools.partial(_knn_kernel, k=k, tile_q=tile_q)
+    kernel = functools.partial(
+        _knn_kernel, k=k, tile_q=tile_q, packed_select=packed_select
+    )
     grid = (B, N // tile_q)
     return pl.pallas_call(
         kernel,
