@@ -66,6 +66,38 @@ def _remask_topk_keys(scores: jax.Array, p_attn: jax.Array, keep_k: int):
     return jax.nn.softmax(scores, axis=-1)
 
 
+class ExposedDense(nn.Module):
+    """Drop-in for the nn.Dense layers of the pointer (same param names,
+    default init, and dtype promotion) that ALSO hands out (kernel, bias)
+    so the fused Pallas sublayer kernels can consume the weights directly.
+    Params are created in setup (input dim is static here), so both the
+    matmul path and ``params_tuple`` see the same variables and the tree
+    layout (linear_q/kernel, ...) is unchanged."""
+
+    features: int
+    din: int
+    dtype: Any = None
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.din, self.features),
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x, k, b = nn.dtypes.promote_dtype(
+            x, self.kernel, self.bias, dtype=self.dtype
+        )
+        return x @ k + b
+
+    def params_tuple(self):
+        return self.kernel, self.bias
+
+
 def _flash(q, k, v, sm_scale):
     """Pallas flash attention with one-shot blocks (at N<=1024, D=128
     everything fits in VMEM; measured 6x over the library defaults) and a
@@ -115,13 +147,41 @@ class MultiHeadAttention(nn.Module):
         # active dropout needs the materialised p_attn -> unfused path
         dropping = train and self.dropout_rate > 0.0
 
-        def proj(x, name):
-            y = nn.Dense(self.d_model, name=name, dtype=self.dtype)(x)
+        d_in = query.shape[-1]
+        dq = ExposedDense(self.d_model, d_in, name="linear_q", dtype=self.dtype)
+        dk_m = ExposedDense(self.d_model, d_in, name="linear_k", dtype=self.dtype)
+        dv = ExposedDense(self.d_model, d_in, name="linear_v", dtype=self.dtype)
+        dout = ExposedDense(
+            self.d_model, self.d_model, name="linear_out", dtype=self.dtype
+        )
+
+        if (
+            self.flash and not self.remask and not dropping
+            and not self.capture_attention and not train
+            and key is value and not self.is_initializing()
+        ):
+            from vcrnet_tpu.ops.pallas_pointer import (
+                fused_mha, fused_mha_supported,
+            )
+
+            if fused_mha_supported(Nq, Nk, self.d_model, h):
+                # whole MHA sublayer (projections + attention + out proj)
+                # as ONE kernel per batch item — eval only, no VJP
+                wq, bq = dq.params_tuple()
+                wk, bk = dk_m.params_tuple()
+                wv, bv = dv.params_tuple()
+                wo, bo = dout.params_tuple()
+                return fused_mha(
+                    query, key, wq, bq, wk, bk, wv, bv, wo, bo, n_heads=h
+                )
+
+        def proj(x, mod):
+            y = mod(x)
             return y.reshape(B, -1, h, d_k).transpose(0, 2, 1, 3)  # [B,H,N,dk]
 
-        q = proj(query, "linear_q")
-        k = proj(key, "linear_k")
-        v = proj(value, "linear_v")
+        q = proj(query, dq)
+        k = proj(key, dk_m)
+        v = proj(value, dv)
 
         if self.flash and not self.remask and not dropping:
             x = _flash(q, k, v, 1.0 / (d_k**0.5))
@@ -176,7 +236,7 @@ class MultiHeadAttention(nn.Module):
                 precision=self.precision, preferred_element_type=jnp.float32,
             )
         x = x.transpose(0, 2, 1, 3).reshape(B, Nq, self.d_model)
-        return nn.Dense(self.d_model, name="linear_out", dtype=self.dtype)(x)
+        return dout(x)
 
 
 class FeedForward(nn.Module):
@@ -186,17 +246,29 @@ class FeedForward(nn.Module):
     d_ff: int
     d_model: int
     dtype: Any = None
+    flash: bool = False  # enables the fused Pallas eval kernel (TPU bf16)
     dropout_rate: float = 0.0  # between relu(w1) and w2; dead in the
     # reference (its PositionwiseFeedForward nulls dropout, transformer.py:235)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.relu(nn.Dense(self.d_ff, name="w_1", dtype=self.dtype)(x))
+        w1 = ExposedDense(self.d_ff, x.shape[-1], name="w_1", dtype=self.dtype)
+        w2 = ExposedDense(self.d_model, self.d_ff, name="w_2", dtype=self.dtype)
+        if self.flash and not train and not self.is_initializing():
+            from vcrnet_tpu.ops.pallas_pointer import (
+                fused_ff, fused_ff_supported,
+            )
+
+            if fused_ff_supported(x.shape[1], self.d_model, self.d_ff):
+                k1, b1 = w1.params_tuple()
+                k2, b2 = w2.params_tuple()
+                return fused_ff(x, k1, b1, k2, b2)
+        x = nn.relu(w1(x))
         if self.dropout_rate > 0.0:
             x = nn.Dropout(
                 rate=self.dropout_rate, deterministic=not train, name="drop"
             )(x)
-        return nn.Dense(self.d_model, name="w_2", dtype=self.dtype)(x)
+        return w2(x)
 
 
 def _sublayer_drop(rate: float, train: bool, name: str):
@@ -230,7 +302,7 @@ class EncoderLayer(nn.Module):
         y = TorchLayerNorm(name="norm1")(x)
         return x + _sublayer_drop(r, train, "drop1")(
             FeedForward(
-                self.d_ff, self.d_model, dtype=self.dtype,
+                self.d_ff, self.d_model, dtype=self.dtype, flash=self.flash,
                 dropout_rate=r, name="ff",
             )(y, train=train)
         )
@@ -279,7 +351,7 @@ class DecoderLayer(nn.Module):
         y = TorchLayerNorm(name="norm2")(x)
         return x + _sublayer_drop(r, train, "drop2")(
             FeedForward(
-                self.d_ff, self.d_model, dtype=self.dtype,
+                self.d_ff, self.d_model, dtype=self.dtype, flash=self.flash,
                 dropout_rate=r, name="ff",
             )(y, train=train)
         )
