@@ -1,6 +1,11 @@
 """Interpret-mode parity tests for the fused pointer sublayer kernels
 (ops/pallas_pointer.py) and their wiring inside the transformer pointer.
 
+The kernels are a measured negative result (slower than flash+XLA at the
+flagship shapes — see the module docstring) and default OFF; these tests
+force them on via VCRNET_FUSED_POINTER=1 so the experiment stays
+reproducible and correct.
+
 The kernels are eval-only TPU fast paths; here they run in Pallas
 interpret mode on CPU and are checked against the exact f32 math with
 bf16-level tolerances (the kernels cast to bf16 internally, like the
@@ -53,19 +58,21 @@ class TestFusedMha:
             n_heads=heads, interpret=True,
         )
         want = _mha_ref(yq, ykv, wq, bq, wk, bk, wv, bv, wo, bo, heads)
-        assert got.shape == want.shape and got.dtype == jnp.float32
+        assert got.shape == want.shape and got.dtype == jnp.bfloat16
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=0.12, rtol=0.05
         )
 
-    def test_supported_gate(self):
+    def test_supported_gate(self, monkeypatch):
+        monkeypatch.setenv("VCRNET_FUSED_POINTER", "1")
         assert pp.fused_mha_supported(1024, 1024, 512, 4)
         assert pp.fused_mha_supported(768, 768, 512, 4)
         assert not pp.fused_mha_supported(1000, 1024, 512, 4)  # lane align
         assert not pp.fused_mha_supported(1024, 1024, 512, 8)  # dk=64
         assert not pp.fused_mha_supported(8192, 8192, 512, 4)  # VMEM
 
-    def test_ff_supported_gate(self):
+    def test_ff_supported_gate(self, monkeypatch):
+        monkeypatch.setenv("VCRNET_FUSED_POINTER", "1")
         assert pp.fused_ff_supported(1024, 512, 1024)
         assert not pp.fused_ff_supported(1000, 512, 1024)
         assert not pp.fused_ff_supported(8192, 512, 4096)
@@ -91,6 +98,7 @@ class TestModuleWiring:
 
     @pytest.mark.parametrize("partial", [False, True])
     def test_fused_pointer_matches_unfused(self, monkeypatch, partial):
+        monkeypatch.setenv("VCRNET_FUSED_POINTER", "1")
         monkeypatch.setattr(
             pp, "fused_mha", functools.partial(pp.fused_mha, interpret=True)
         )
@@ -120,6 +128,8 @@ class TestModuleWiring:
         )
 
     def test_train_mode_never_fused(self, monkeypatch):
+        monkeypatch.setenv("VCRNET_FUSED_POINTER", "1")
+
         def boom(*a, **k):  # pragma: no cover - should not run
             raise AssertionError("fused kernel used in train mode")
 
