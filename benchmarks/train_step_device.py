@@ -45,18 +45,24 @@ def main():
             return s2, sums["loss"]
 
         s, losses = jax.lax.scan(body, state, None, length=iters)
-        return losses[-1]
+        # Keep the UPDATED STATE live in the output: returning only
+        # losses[-1] lets XLA dead-code-eliminate the backward+optimizer
+        # at T=1 (loss needs only the forward), which inflates the
+        # chained slope (T5-T1)/4 by ~17 ms. Folding a param leaf into
+        # the result forces every iteration to do the full step.
+        leaf = jax.tree_util.tree_leaves(s.params)[0]
+        return losses[-1], leaf.ravel()[0]
 
     fs = {}
     for T in (1, 5):
         fs[T] = jax.jit(lambda s, TT=T: chained(s, TT))
-        np.asarray(fs[T](state))  # compile
+        jax.tree_util.tree_map(np.asarray, fs[T](state))  # compile
     ds = []
     for _ in range(5):
         out = {}
         for T in (1, 5):
             t0 = time.perf_counter()
-            np.asarray(fs[T](state))
+            jax.tree_util.tree_map(np.asarray, fs[T](state))
             out[T] = time.perf_counter() - t0
         ds.append((out[5] - out[1]) / 4)
     dt = float(np.median(ds))

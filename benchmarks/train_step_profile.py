@@ -102,11 +102,85 @@ def main():
         st, losses = jax.lax.scan(body, s, None, length=T)
         return losses[-1]
 
+    # --- component fwd+bwd: embedding only, pointer only -----------------
+    variables0 = {"params": state.params}
+    if state.batch_stats:
+        variables0["batch_stats"] = state.batch_stats
+    model = trainer.model
+
+    def embed_loss(params):
+        variables = dict(variables0, params=params)
+        from vcrnet_tpu.models.vcrnet import VCRNet
+        e = model.apply(variables, dev["src"], train=True, method=VCRNet.embed)
+        return (e.astype(jnp.float32) ** 2).mean()
+
+    emb0 = model.apply(variables0, dev["src"], method=lambda m, s: m.embed(s))
+    emb0 = jax.device_put(np.asarray(emb0, np.float32))
+
+    def pointer_loss(params):
+        variables = dict(variables0, params=params)
+        sd, td = model.apply(
+            variables, emb0, emb0,
+            method=lambda m, a, b: m.pointer(a, b, train=True),
+        )
+        return (sd.astype(jnp.float32) ** 2).mean() + (
+            td.astype(jnp.float32) ** 2
+        ).mean()
+
+    def comp_chain(loss_f):
+        def chain_fn(s, T):
+            def body(p, _):
+                loss, g = jax.value_and_grad(loss_f)(p)
+                p2 = jax.tree_util.tree_map(
+                    lambda a, b: a - 1e-30 * b, perturb(p, loss), g
+                )
+                return p2, None
+            p, _ = jax.lax.scan(body, s.params, None, length=T)
+            return jax.tree_util.tree_leaves(p)[0].sum()
+        return chain_fn
+
+    # --- optimizer + metric sums in isolation ----------------------------
+    grads0 = jax.jit(jax.grad(lambda p: loss_of(p)))(state.params)
+
+    def opt_chain(s, T):
+        def body(st, _):
+            updates, opt_state = trainer.tx.update(
+                grads0, st.opt_state, st.params
+            )
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, st.params, updates
+            )
+            return st.replace(params=params, opt_state=opt_state,
+                              step=st.step + 1), None
+        st, _ = jax.lax.scan(body, s, None, length=T)
+        return jax.tree_util.tree_leaves(st.params)[0].sum()
+
+    def sums_chain(s, T):
+        def body(p, _):
+            variables = dict(variables0, params=p)
+            out, _ = trainer._apply(
+                variables, dev["src"], dev["tgt"], train=True, rngs=None
+            )
+            loss, sums = trainer._vcrnet_loss_and_sums(out, dev, valid)
+            total = sum(jnp.sum(v) for v in sums.values()) + loss
+            return perturb(p, total), None
+        p, _ = jax.lax.scan(body, s.params, None, length=T)
+        return jax.tree_util.tree_leaves(p)[0].sum()
+
     t_f = chain(fwd_chain, state)
     print(f"forward-only loss:      {t_f*1000:8.1f} ms", flush=True)
+    t_fs = chain(sums_chain, state)
+    print(f"forward + metric sums:  {t_fs*1000:8.1f} ms "
+          f"(sums ~{(t_fs-t_f)*1000:.1f})", flush=True)
     t_g = chain(grad_chain, state)
     print(f"forward+backward:       {t_g*1000:8.1f} ms "
           f"(backward ~{(t_g-t_f)*1000:.1f})", flush=True)
+    t_e = chain(comp_chain(embed_loss), state)
+    print(f"embed fwd+bwd (1 cloud):{t_e*1000:8.1f} ms", flush=True)
+    t_p = chain(comp_chain(pointer_loss), state)
+    print(f"pointer fwd+bwd:        {t_p*1000:8.1f} ms", flush=True)
+    t_o = chain(opt_chain, state)
+    print(f"optimizer update alone: {t_o*1000:8.1f} ms", flush=True)
     t_s = chain(full_chain, state)
     print(f"full train step:        {t_s*1000:8.1f} ms "
           f"(optimizer/sums ~{(t_s-t_g)*1000:.1f})", flush=True)
