@@ -101,6 +101,20 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    try:
+        if jax.default_backend() == "tpu":
+            # persistent compile cache: CLI reruns skip the cold XLA/Mosaic
+            # compile. TPU-only — the cached executables are AOT artifacts
+            # that crash the CPU backend with a libtpu version mismatch.
+            jax.config.update(
+                "jax_compilation_cache_dir", "/tmp/jax_comp_cache"
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except RuntimeError:
+        pass  # no backend at all (e.g. doc builds); nothing to cache
+
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     np.random.seed(cfg.seed)

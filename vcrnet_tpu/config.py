@@ -102,6 +102,14 @@ class Config:
     # TPU-specific (no reference equivalent)
     compute_dtype: str = "float32"  # float32 | bfloat16 for matmul-heavy paths
     approx_knn: bool = False  # TPU approx_max_k for the [B,N,N] kNN top-k
+    int8_eval: bool = False  # dynamic-int8 pointer projections at eval
+    # (ops/int8_linear.py). OFF by default: A/B'd SLOWER in context —
+    # isolated 512x512 int8 matmul is 2.45x bf16 (0.081 vs 0.199 ms,
+    # benchmarks/int8_matmul_probe.py) but the full pointer measured
+    # 12.63 vs 8.17 ms and whole_iter3 630 vs 686 pairs/s: the quant/
+    # dequant HBM passes break XLA's fusion around the already-MXU-bound
+    # projections. Kept as a tested option (tests/test_int8.py); see
+    # docs/KERNELS.md.
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all
 
     # ---- derived (computed in __post_init__) ----

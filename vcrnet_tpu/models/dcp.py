@@ -13,7 +13,9 @@ from flax import linen as nn
 
 from vcrnet_tpu import geometry
 from vcrnet_tpu.config import Config
-from vcrnet_tpu.models.vcrnet import make_embedding, _precision, _dtype, _use_flash
+from vcrnet_tpu.models.vcrnet import (
+    make_embedding, _precision, _dtype, _use_flash, _use_int8,
+)
 from vcrnet_tpu.models.transformer import TransformerPointer
 
 
@@ -74,6 +76,7 @@ class DCP(nn.Module):
                 precision=_precision(cfg),
                 dtype=_dtype(cfg),
                 flash=_use_flash(cfg),
+                int8=_use_int8(cfg),
                 dropout_rate=cfg.dropout,
             )
         elif cfg.pointer == "identity":

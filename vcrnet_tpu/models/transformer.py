@@ -77,6 +77,9 @@ class ExposedDense(nn.Module):
     features: int
     din: int
     dtype: Any = None
+    int8: bool = False  # dynamic-int8 MXU matmul (eval fast path; callers
+    # gate on ``not train``) — 2x the bf16 rate at protocol shapes, see
+    # ops/int8_linear.py
 
     def setup(self):
         self.kernel = self.param(
@@ -92,6 +95,10 @@ class ExposedDense(nn.Module):
         x, k, b = nn.dtypes.promote_dtype(
             x, self.kernel, self.bias, dtype=self.dtype
         )
+        if self.int8 and not self.is_initializing():
+            from vcrnet_tpu.ops.int8_linear import int8_linear
+
+            return int8_linear(x, k, b)
         return x @ k + b
 
     def params_tuple(self):
@@ -125,6 +132,7 @@ class MultiHeadAttention(nn.Module):
     precision: Any = None
     dtype: Any = None
     flash: bool = False
+    int8: bool = False  # dynamic-int8 q/k/v/out projections (eval only)
     dropout_rate: float = 0.0  # on p_attn after softmax. NOTE: the
     # reference's --dropout is DEAD code (MultiHeadedAttention hard-sets
     # self.dropout = None, reference transformer.py:198); here the flag is
@@ -148,11 +156,22 @@ class MultiHeadAttention(nn.Module):
         dropping = train and self.dropout_rate > 0.0
 
         d_in = query.shape[-1]
-        dq = ExposedDense(self.d_model, d_in, name="linear_q", dtype=self.dtype)
-        dk_m = ExposedDense(self.d_model, d_in, name="linear_k", dtype=self.dtype)
-        dv = ExposedDense(self.d_model, d_in, name="linear_v", dtype=self.dtype)
+        # int8 is eval-only (zero gradient through the rounding); the q/k/v
+        # projections of self-attention share one input so XLA CSEs their
+        # activation quantization into a single pass
+        i8 = self.int8 and not train
+        dq = ExposedDense(
+            self.d_model, d_in, name="linear_q", dtype=self.dtype, int8=i8
+        )
+        dk_m = ExposedDense(
+            self.d_model, d_in, name="linear_k", dtype=self.dtype, int8=i8
+        )
+        dv = ExposedDense(
+            self.d_model, d_in, name="linear_v", dtype=self.dtype, int8=i8
+        )
         dout = ExposedDense(
-            self.d_model, self.d_model, name="linear_out", dtype=self.dtype
+            self.d_model, self.d_model, name="linear_out", dtype=self.dtype,
+            int8=i8,
         )
 
         if (
@@ -287,13 +306,14 @@ class EncoderLayer(nn.Module):
     precision: Any = None
     dtype: Any = None
     flash: bool = False
+    int8: bool = False
     dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         attn = MultiHeadAttention(
             self.n_heads, self.d_model, precision=self.precision,
-            dtype=self.dtype, flash=self.flash,
+            dtype=self.dtype, flash=self.flash, int8=self.int8,
             dropout_rate=self.dropout_rate, name="self_attn",
         )
         r = self.dropout_rate
@@ -317,6 +337,7 @@ class DecoderLayer(nn.Module):
     precision: Any = None
     dtype: Any = None
     flash: bool = False
+    int8: bool = False
     dropout_rate: float = 0.0
 
     @nn.compact
@@ -325,7 +346,7 @@ class DecoderLayer(nn.Module):
     ) -> jax.Array:
         self_attn = MultiHeadAttention(
             self.n_heads, self.d_model, precision=self.precision,
-            dtype=self.dtype, flash=self.flash,
+            dtype=self.dtype, flash=self.flash, int8=self.int8,
             dropout_rate=self.dropout_rate, name="self_attn",
         )
         src_attn = MultiHeadAttention(
@@ -336,6 +357,7 @@ class DecoderLayer(nn.Module):
             precision=self.precision,
             dtype=self.dtype,
             flash=self.flash,
+            int8=self.int8,
             dropout_rate=self.dropout_rate,
             name="src_attn",
         )
@@ -374,6 +396,7 @@ class TransformerPointer(nn.Module):
     precision: Any = None
     dtype: Any = None
     flash: bool = False
+    int8: bool = False
     dropout_rate: float = 0.0
 
     def setup(self):
@@ -381,7 +404,7 @@ class TransformerPointer(nn.Module):
             EncoderLayer(
                 self.n_heads, self.emb_dims, self.ff_dims,
                 precision=self.precision, dtype=self.dtype, flash=self.flash,
-                dropout_rate=self.dropout_rate,
+                int8=self.int8, dropout_rate=self.dropout_rate,
             )
             for _ in range(self.n_blocks)
         ]
@@ -395,6 +418,7 @@ class TransformerPointer(nn.Module):
                 precision=self.precision,
                 dtype=self.dtype,
                 flash=self.flash,
+                int8=self.int8,
                 dropout_rate=self.dropout_rate,
             )
             for _ in range(self.n_blocks)

@@ -59,6 +59,13 @@ def _dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
+def _use_int8(cfg: Config) -> bool:
+    """Dynamic-int8 pointer projections: eval fast path only. Pure XLA
+    (int8 dot_general), so unlike flash it also runs off-TPU — tests
+    exercise it on CPU."""
+    return cfg.int8_eval and cfg.compute_dtype == "bfloat16"
+
+
 def _use_flash(cfg: Config) -> bool:
     """Pallas flash attention: fast path only, and only where a TPU backend
     is actually present (the kernel doesn't run on CPU)."""
@@ -94,6 +101,7 @@ class VCRNet(nn.Module):
                 precision=_precision(cfg),
                 dtype=_dtype(cfg),
                 flash=_use_flash(cfg),
+                int8=_use_int8(cfg),
                 dropout_rate=cfg.dropout,
             )
         elif cfg.pointer == "identity":
