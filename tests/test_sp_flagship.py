@@ -13,6 +13,7 @@ from vcrnet_tpu.config import Config
 from vcrnet_tpu.models import VCRNet
 from vcrnet_tpu.models import heads
 from vcrnet_tpu.parallel import make_mesh
+from vcrnet_tpu.parallel.mesh import make_mesh_2d
 from vcrnet_tpu.parallel.point_sharding import shard_points
 from vcrnet_tpu.parallel.sp_flagship import (
     pointer_sp,
@@ -181,6 +182,62 @@ def test_sp_gradients_match_single_device(setup):
         for v in jax.tree_util.tree_leaves(g_sp)
     )
     assert total > 0
+
+
+def test_flagship_dp_sp_2d_mesh_matches_model(setup):
+    """Composed data x point parallelism: batch sharded 2-way over 'batch',
+    points 4-way over 'data' (mesh.make_mesh_2d) — forward AND gradients
+    must match the single-device model."""
+    cfg, model, variables, src, tgt, _ = setup
+    mesh2 = make_mesh_2d(2)  # 8 devices -> 2 (batch) x 4 (points)
+    assert mesh2.devices.shape == (2, 4)
+
+    sp = lambda a: shard_points(jnp.asarray(a), mesh2, batch_axis="batch")
+
+    out_ref = model.apply(variables, jnp.asarray(src), jnp.asarray(tgt))
+    src_k, corr, R, t = register_flagship_sp(
+        variables["params"], sp(src), sp(tgt), mesh2,
+        n_heads=cfg.n_heads, n_blocks=cfg.n_blocks, batch_axis="batch",
+    )
+    np.testing.assert_allclose(np.asarray(R), np.asarray(out_ref[2]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(out_ref[3]), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(corr), np.asarray(out_ref[1]), atol=1e-3
+    )
+
+    # gradients through the 2-D mesh
+    R_gt = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    t_gt = np.zeros((B, 3), np.float32)
+
+    def loss_ref(params):
+        out = model.apply(
+            {"params": params}, jnp.asarray(src), jnp.asarray(tgt)
+        )
+        moved = (
+            jnp.einsum("bij,bnj->bni", jnp.asarray(R_gt), out[0])
+            + jnp.asarray(t_gt)[:, None, :]
+        )
+        return jnp.mean((moved - out[1]) ** 2)
+
+    def loss_sp(params):
+        return sp_train_loss(
+            params, sp(src), sp(tgt), jnp.asarray(R_gt), jnp.asarray(t_gt),
+            mesh2, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+            batch_axis="batch",
+        )
+
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    g_sp = jax.grad(loss_sp)(variables["params"])
+    ref_flat = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(g_ref)
+    }
+    for key, v in jax.tree_util.tree_leaves_with_path(g_sp):
+        ks = jax.tree_util.keystr(key)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(ref_flat[ks]), atol=5e-4,
+            err_msg=f"grad mismatch at {ks}",
+        )
 
 
 def test_sp_gradients_partial_mode_finite():

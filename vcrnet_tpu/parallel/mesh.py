@@ -26,6 +26,24 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devs), axis_names=("data",))
 
 
+def make_mesh_2d(
+    n_batch: int, n_points: Optional[int] = None, devices=None
+) -> Mesh:
+    """2-D mesh for composed data x point (dp x sp) parallelism: the batch
+    axis shards over the outer 'batch' mesh axis, the point axis over the
+    inner 'data' axis. NOTE the inner axis keeps the name 'data' — the SP
+    modules' collectives (parallel/point_sharding.py, sp_model.py,
+    sp_flagship.py) are bound to that historical name; pass
+    ``batch_axis='batch'`` to their public entry points to ride this mesh.
+    Inner = point axis so SP's heavier all-gathers map to the
+    faster-adjacent devices of a real slice (ICI before DCN)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_points is None:
+        n_points = len(devs) // n_batch
+    grid = np.asarray(devs[: n_batch * n_points]).reshape(n_batch, n_points)
+    return Mesh(grid, axis_names=("batch", "data"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis split over the data mesh axis."""
     return NamedSharding(mesh, P("data"))

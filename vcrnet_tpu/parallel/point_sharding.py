@@ -24,12 +24,16 @@ from jax.experimental.shard_map import shard_map
 from vcrnet_tpu.ops import graph as _g
 
 
-def _points_spec():
-    # [B, N, C] with the POINT axis sharded over the 'data' mesh axis
-    return P(None, "data", None)
+def _points_spec(batch_axis: str | None = None):
+    # [B, N, C] with the POINT axis sharded over the 'data' mesh axis;
+    # on a 2-D dp x sp mesh (mesh.make_mesh_2d) the batch axis additionally
+    # shards over ``batch_axis``
+    return P(batch_axis, "data", None)
 
 
-def sharded_knn(x: jax.Array, k: int, mesh: Mesh) -> jax.Array:
+def sharded_knn(
+    x: jax.Array, k: int, mesh: Mesh, batch_axis: str | None = None
+) -> jax.Array:
     """kNN over a point-sharded cloud: x [B, N, C] sharded on axis 1 ->
     GLOBAL neighbor indices [B, N, k], sharded the same way.
 
@@ -41,7 +45,8 @@ def sharded_knn(x: jax.Array, k: int, mesh: Mesh) -> jax.Array:
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(_points_spec(),), out_specs=_points_spec(),
+        in_specs=(_points_spec(batch_axis),),
+        out_specs=_points_spec(batch_axis),
     )
     def f(x_local):
         keys = jax.lax.all_gather(x_local, "data", axis=1, tiled=True)
@@ -62,15 +67,16 @@ def sharded_knn(x: jax.Array, k: int, mesh: Mesh) -> jax.Array:
 
 
 def sharded_gather_neighbors(
-    feats: jax.Array, idx: jax.Array, mesh: Mesh
+    feats: jax.Array, idx: jax.Array, mesh: Mesh,
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """Gather neighbor features across shards: feats [B, N, C] and GLOBAL
     idx [B, N, k], both point-sharded -> [B, N, k, C] sharded on axis 1."""
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(_points_spec(), _points_spec()),
-        out_specs=P(None, "data", None, None),
+        in_specs=(_points_spec(batch_axis), _points_spec(batch_axis)),
+        out_specs=P(batch_axis, "data", None, None),
     )
     def f(feats_local, idx_local):
         full = jax.lax.all_gather(feats_local, "data", axis=1, tiled=True)
@@ -80,7 +86,8 @@ def sharded_gather_neighbors(
 
 
 def sharded_soft_correspondence(
-    src_emb: jax.Array, tgt_emb: jax.Array, tgt: jax.Array, mesh: Mesh
+    src_emb: jax.Array, tgt_emb: jax.Array, tgt: jax.Array, mesh: Mesh,
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """Whole-whole VCP over point-sharded clouds: the softmax over ALL
     target points runs per local query shard against the all-gathered
@@ -88,8 +95,11 @@ def sharded_soft_correspondence(
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(_points_spec(), _points_spec(), _points_spec()),
-        out_specs=_points_spec(),
+        in_specs=(
+            _points_spec(batch_axis), _points_spec(batch_axis),
+            _points_spec(batch_axis),
+        ),
+        out_specs=_points_spec(batch_axis),
     )
     def f(se, te, tg):
         te_full = jax.lax.all_gather(te, "data", axis=1, tiled=True)
@@ -102,6 +112,9 @@ def sharded_soft_correspondence(
     return f(src_emb, tgt_emb, tgt)
 
 
-def shard_points(x: jax.Array, mesh: Mesh) -> jax.Array:
-    """Place [B, N, C] with the point axis sharded over the mesh."""
-    return jax.device_put(x, NamedSharding(mesh, _points_spec()))
+def shard_points(
+    x: jax.Array, mesh: Mesh, batch_axis: str | None = None
+) -> jax.Array:
+    """Place [B, N, C] with the point axis sharded over the mesh (and the
+    batch axis over ``batch_axis`` on a 2-D dp x sp mesh)."""
+    return jax.device_put(x, NamedSharding(mesh, _points_spec(batch_axis)))

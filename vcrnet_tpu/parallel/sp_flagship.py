@@ -258,17 +258,27 @@ def register_flagship_sp(
     overlap2: float = 1.0,
     k: int = 20,
     negative_slope: float = 0.0,
+    batch_axis: str | None = None,
 ):
     """Full point-sharded VCR-Net forward: LPDNet embed -> transformer
     pointer -> VCP head (partial or whole) -> Procrustes.
 
     ``params`` is the standard VCRNet param tree; src/tgt [B, N, 3] with
     the point axis sharded over the mesh. Returns
-    (src_k, src_corr_k, R_ab, t_ab) — R/t replicated. Differentiable.
+    (src_k, src_corr_k, R_ab, t_ab) — R/t replicated over the point axis.
+    Differentiable. On a 2-D dp x sp mesh (mesh.make_mesh_2d) pass
+    ``batch_axis='batch'`` to shard the batch axis too — the point
+    collectives stay within each batch row of the mesh.
     """
     emb = params["emb_nn"]
-    se = lpdnet_embed_sp(emb, src, mesh, k=k, negative_slope=negative_slope)
-    te = lpdnet_embed_sp(emb, tgt, mesh, k=k, negative_slope=negative_slope)
+    se = lpdnet_embed_sp(
+        emb, src, mesh, k=k, negative_slope=negative_slope,
+        batch_axis=batch_axis,
+    )
+    te = lpdnet_embed_sp(
+        emb, tgt, mesh, k=k, negative_slope=negative_slope,
+        batch_axis=batch_axis,
+    )
 
     n_total = src.shape[1]
     n_dev = mesh.devices.size
@@ -278,15 +288,14 @@ def register_flagship_sp(
     k1 = int(n_total * 0.84 * overlap2)
     k2 = int(k1 * 0.52 * overlap2)
 
+    ps = _points_spec(batch_axis)
+
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(
-            P(), _points_spec(), _points_spec(), _points_spec(),
-            _points_spec(),
-        ),
+        in_specs=(P(), ps, ps, ps, ps),
         out_specs=(
-            P(None, None, None), P(None, None, None),
-            P(None, None, None), P(None, None),
+            P(batch_axis, None, None), P(batch_axis, None, None),
+            P(batch_axis, None, None), P(batch_axis, None),
         ),
         check_rep=False,
     )
@@ -349,16 +358,18 @@ def pointer_sp(
     n_blocks: int = 1,
     partial_mode: bool = False,
     overlap2: float = 1.0,
+    batch_axis: str | None = None,
 ):
     """Point-sharded transformer pointer alone (for tests / composition):
     (src_delta, tgt_delta), sharded like the inputs."""
     n_total = src_emb.shape[1]
     keep_k = int(n_total * overlap2)
+    ps = _points_spec(batch_axis)
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), _points_spec(), _points_spec()),
-        out_specs=(_points_spec(), _points_spec()),
+        in_specs=(P(), ps, ps),
+        out_specs=(ps, ps),
         check_rep=False,
     )
     def f(pp_in, se_l, te_l):

@@ -67,9 +67,11 @@ def lpdnet_embed_sp(
     mesh: Mesh,
     k: int = 20,
     negative_slope: float = 0.0,
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """Point-sharded LPDNet forward: x [B, N, 3] (point axis sharded over
-    'data') -> [B, N, emb_dims], sharded the same way.
+    'data'; batch additionally over ``batch_axis`` on a dp x sp mesh)
+    -> [B, N, emb_dims], sharded the same way.
 
     ``emb_params`` is the flax LPDNet param tree (models/embeddings.py) —
     the same checkpoint drives both the single-device and the sharded path.
@@ -83,7 +85,8 @@ def lpdnet_embed_sp(
         # params enter as an explicit REPLICATED input (P() prefix spec) so
         # jax.grad can flow through the shard_map (closed-over tracers
         # don't differentiate)
-        in_specs=(P(), _points_spec()), out_specs=_points_spec(),
+        in_specs=(P(), _points_spec(batch_axis)),
+        out_specs=_points_spec(batch_axis),
     )
     def f(ep, x_local):
         act = lambda v: _leaky(v, negative_slope)
@@ -129,10 +132,12 @@ def register_whole_sp(
     mesh: Mesh,
     k: int = 20,
     negative_slope: float = 0.0,
+    batch_axis: str | None = None,
 ):
     """Whole-mode registration with the identity pointer, fully
-    point-sharded: returns (R_ab [B,3,3], t_ab [B,3]) replicated, plus the
-    (sharded) virtual correspondences.
+    point-sharded: returns (R_ab [B,3,3], t_ab [B,3]) replicated over the
+    point axis (sharded over ``batch_axis`` if given), plus the (sharded)
+    virtual correspondences.
 
     ``params`` is a VCRNet param tree (uses params['emb_nn']). The
     Procrustes solve runs on psum'd sufficient statistics: each device
@@ -140,17 +145,22 @@ def register_whole_sp(
     solve is (redundantly) replicated.
     """
     emb = params["emb_nn"]
-    se = lpdnet_embed_sp(emb, src, mesh, k=k, negative_slope=negative_slope)
-    te = lpdnet_embed_sp(emb, tgt, mesh, k=k, negative_slope=negative_slope)
+    se = lpdnet_embed_sp(
+        emb, src, mesh, k=k, negative_slope=negative_slope,
+        batch_axis=batch_axis,
+    )
+    te = lpdnet_embed_sp(
+        emb, tgt, mesh, k=k, negative_slope=negative_slope,
+        batch_axis=batch_axis,
+    )
 
     n_total = src.shape[1]
+    ps = _points_spec(batch_axis)
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(
-            _points_spec(), _points_spec(), _points_spec(), _points_spec(),
-        ),
-        out_specs=(_points_spec(), P(None, None, None), P(None, None)),
+        in_specs=(ps, ps, ps, ps),
+        out_specs=(ps, P(batch_axis, None, None), P(batch_axis, None)),
         check_rep=False,  # psum'd outputs are replicated by construction
     )
     def f(se_l, te_l, src_l, tgt_l):
