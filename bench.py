@@ -206,10 +206,55 @@ def accuracy_report(n_items: int = 96) -> dict:
     return out
 
 
+def _probe_tpu_responsive(timeout_s: float = 240.0) -> None:
+    """Fail fast (clear error, nonzero exit) when the tunnel TPU is hung.
+
+    The tunnel backend can wedge so hard that even ``jax.devices()`` blocks
+    forever (observed in-session); without this guard a bench run would
+    hang silently instead of surfacing a failure. The probe runs in a
+    SUBPROCESS so a hang cannot take the parent down with it. Set
+    VCRNET_SKIP_TPU_PROBE=1 to bypass (tests monkeypatch this function)."""
+    import os
+    import subprocess
+
+    if os.environ.get("VCRNET_SKIP_TPU_PROBE"):
+        return
+
+    code = (
+        "import numpy as np, jax\n"
+        "x = jax.jit(lambda a: a @ a)(np.ones((128, 128), np.float32))\n"
+        "assert float(np.asarray(x)[0, 0]) == 128.0\n"
+        "print('tpu-probe-ok')\n"
+    )
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True, text=True,
+            )
+            if "tpu-probe-ok" in r.stdout:
+                return
+            sys.stderr.write(
+                f"tpu probe attempt {attempt + 1} failed "
+                f"(rc={r.returncode}):\n{r.stderr[-2000:]}\n"
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"tpu probe attempt {attempt + 1} timed out "
+                f"after {timeout_s:.0f}s\n"
+            )
+    raise RuntimeError(
+        "TPU unresponsive: a trivial jit+fetch failed twice "
+        f"(timeout {timeout_s:.0f}s) — tunnel/backend outage, not a "
+        "model regression"
+    )
+
+
 def main():
     if "--accuracy" in sys.argv:
         print(json.dumps({"accuracy": accuracy_report()}))
         return
+    _probe_tpu_responsive()
     configs = {}
     configs["whole_iter1"] = _best_over_batches(
         False, 1, (64, 128, 256, 512)

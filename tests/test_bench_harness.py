@@ -11,6 +11,13 @@ import pytest
 import bench
 
 
+@pytest.fixture(autouse=True)
+def _skip_tpu_probe(monkeypatch):
+    # These tests mock bench_protocol and never touch hardware; the real
+    # probe would spend 2x240s trying to reach the tunnel TPU.
+    monkeypatch.setattr(bench, "_probe_tpu_responsive", lambda **kw: None)
+
+
 def test_best_over_batches_stops_after_failed_batch(monkeypatch):
     calls = []
 
