@@ -46,6 +46,8 @@ NORTH_STAR = 625.0  # pairs/s/chip
 
 
 def _model_and_inputs(batch: int, partial: bool, n_iter: int):
+    import os
+
     import jax
     from vcrnet_tpu.config import Config
     from vcrnet_tpu.models import VCRNet
@@ -53,6 +55,10 @@ def _model_and_inputs(batch: int, partial: bool, n_iter: int):
     cfg = Config(
         num_points=1024, emb_dims=512, compute_dtype="bfloat16",
         partial=partial, overlap=0.575 if partial else 0.75, iter=n_iter,
+        # A/B knob for the approximate feature-graph reuse across
+        # refinement iterations (accuracy side: --accuracy with the same
+        # env var; see Config.reuse_feature_knn)
+        reuse_feature_knn=bool(os.environ.get("VCRNET_REUSE_FEATURE_KNN")),
     )
     model = VCRNet(cfg=cfg)
     rng = np.random.RandomState(0)
@@ -153,7 +159,10 @@ def accuracy_report(n_items: int = 96) -> dict:
         load_t7_lpdnet, merge_pretrained_embedding,
     )
 
+    import os
+
     t7 = "/root/reference/pretrained/lpd-pretrained.t7"
+    reuse_feat = bool(os.environ.get("VCRNET_REUSE_FEATURE_KNN"))
     protos = {
         "whole_iter1": dict(iter=1),
         "whole_iter3": dict(iter=3),
@@ -167,7 +176,9 @@ def accuracy_report(n_items: int = 96) -> dict:
                 num_points=1024, emb_dims=512, test_batch_size=24, **pkw
             )
             if profile == "fast":
-                kw.update(compute_dtype="bfloat16")
+                kw.update(
+                    compute_dtype="bfloat16", reuse_feature_knn=reuse_feat
+                )
             cfg = Config(**kw)
             trainer = Trainer(cfg)
             ds = SyntheticDataset(

@@ -341,3 +341,51 @@ class TestIterCachedEmbedding:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5
             )
+
+    def test_reuse_feature_knn_mechanism(self):
+        """Config.reuse_feature_knn threads iteration 1's feature-space
+        kNN selection into iterations 2+. The reuse is an approximation
+        when the cloud moves, so: (a) supplying the idx the model would
+        compute anyway must be EXACT; (b) at n_iter=1 the flag is a no-op;
+        (c) at n_iter=3 the output stays a valid rigid transform."""
+        cfg = Config(
+            num_points=64, emb_dims=64, ff_dims=128, reuse_feature_knn=True
+        )
+        rng = np.random.RandomState(7)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+
+        # (a) embedding with its own sown feature_idx supplied == without
+        from vcrnet_tpu.models.vcrnet import VCRNet as VCRNetCls, _find_sown
+
+        emb, sown = model.apply(
+            variables, src, method=VCRNetCls.embed, mutable=["intermediates"]
+        )
+        f_idx = _find_sown(sown.get("intermediates", {}), "feature_idx")
+        assert f_idx is not None and f_idx.shape == (2, 64, 20)
+        emb2 = model.apply(
+            variables, src, method=VCRNetCls.embed, feature_idx=f_idx
+        )
+        np.testing.assert_allclose(
+            np.asarray(emb), np.asarray(emb2), atol=1e-6
+        )
+
+        # (b) n_iter=1 never reuses: identical to the flag-off model
+        model_off = VCRNet(cfg=cfg.replace(reuse_feature_knn=False))
+        one_on = vcrnet_iter(
+            model.apply, variables, src, tgt, n_iter=1, model=model
+        )
+        one_off = vcrnet_iter(
+            model_off.apply, variables, src, tgt, n_iter=1, model=model_off
+        )
+        for a, b in zip(one_on, one_off):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        # (c) n_iter=3 with reuse still produces a proper rotation
+        out = vcrnet_iter(
+            model.apply, variables, src, tgt, n_iter=3, model=model
+        )
+        np.testing.assert_allclose(
+            np.linalg.det(np.asarray(out[2])), 1.0, atol=1e-4
+        )

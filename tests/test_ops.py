@@ -215,6 +215,72 @@ class TestPallasEdgeConv:
         out = gather_max_from_idx(idx, a, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
+    def test_edge_conv_from_idx_matches_fused(self):
+        # the from-indices twin reproduces the fused kernel exactly when
+        # fed the fused kernel's own selection (return_idx)
+        from vcrnet_tpu.ops.pallas_edgeconv import (
+            edge_conv_from_idx, fused_edge_conv,
+        )
+
+        x, a, h, w2, b2, k = self._setup()
+        x1_ref, x2_ref, idx = fused_edge_conv(
+            x, a, h, w2, b2, k=k, interpret=True, return_idx=True
+        )
+        x1, x2 = edge_conv_from_idx(idx, a, h, w2, b2, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(x1), np.asarray(x1_ref), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x2_ref), atol=1e-5
+        )
+        # leaky slope and int8 gathers follow the same equivalence
+        x1s_ref, x2s_ref, idx_s = fused_edge_conv(
+            x, a, h, w2, b2, k=k, negative_slope=0.2, interpret=True,
+            return_idx=True,
+        )
+        x1s, x2s = edge_conv_from_idx(
+            idx_s, a, h, w2, b2, negative_slope=0.2, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(x1s), np.asarray(x1s_ref), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(x2s), np.asarray(x2s_ref), atol=1e-5
+        )
+
+    def test_edge_conv_from_idx_int8_matches_quantized(self):
+        # int8 one-hot gather == bf16 path over the quantized table
+        from vcrnet_tpu.ops.pallas_edgeconv import edge_conv_from_idx
+
+        x, a, h, w2, b2, k = self._setup()
+        idx = ops.knn(x, k, method="exact")
+        out8 = edge_conv_from_idx(
+            idx, a, h, w2, b2, interpret=True, int8_gather=True
+        )
+        a32 = np.asarray(a, np.float32)
+        scale = np.abs(a32).max(axis=1, keepdims=True) / 127.0 + 1e-30
+        aq = jnp.asarray(np.round(a32 / scale) * scale)
+        ref = edge_conv_from_idx(idx, aq, h, w2, b2, interpret=True)
+        for o, r in zip(out8, ref):
+            np.testing.assert_allclose(
+                np.asarray(o), np.asarray(r), atol=1e-4
+            )
+
+    def test_fused_edge_conv_return_idx_matches_knn(self):
+        from vcrnet_tpu.ops.pallas_edgeconv import fused_edge_conv
+
+        x, a, h, w2, b2, k = self._setup()
+        _, _, idx = fused_edge_conv(
+            x, a, h, w2, b2, k=k, interpret=True, return_idx=True,
+            packed_select=False,
+        )
+        ref_idx = ops.knn(x, k, method="exact")
+        # same neighbor SETS (selection order may differ on ties)
+        assert np.all(
+            np.sort(np.asarray(idx), axis=-1)
+            == np.sort(np.asarray(ref_idx), axis=-1)
+        )
+
     def test_gather_max_from_idx_large_n_vmem_guard(self):
         # at large N the [k*TQ, N] one-hot must shrink its query tile to
         # stay within VMEM; verify the guarded tiling stays exact

@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--mesh_shape", type=int, default=None)
     p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--reuse_feature_knn", action="store_true", default=False,
+                   help="eval refinement: reuse iteration 1's feature-graph "
+                        "kNN in iterations 2+ (approximate; see Config)")
     p.add_argument("--pretrained_t7", type=str, default="",
                    help="optional LPDNet .t7 to warm-start the embedding")
     p.add_argument("--show_worst", type=int, default=0,

@@ -110,6 +110,12 @@ class Config:
     # dequant HBM passes break XLA's fusion around the already-MXU-bound
     # projections. Kept as a tested option (tests/test_int8.py); see
     # docs/KERNELS.md.
+    reuse_feature_knn: bool = False  # eval refinement: reuse iteration 1's
+    # FEATURE-space kNN selection in iterations 2+ (vcrnet_iter). Unlike
+    # the always-on spatial-kNN reuse (exact: rigid transforms preserve
+    # distances) this is an APPROXIMATION — pointwise features are not
+    # rigid-invariant — so it stays opt-in pending the accuracy/throughput
+    # A/B (bench.py --accuracy) like the other fast-profile knobs.
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all
 
     # ---- derived (computed in __post_init__) ----

@@ -125,11 +125,19 @@ class LPDNet(nn.Module):
         x: jax.Array,
         train: bool = False,
         spatial_idx: jax.Array | None = None,
+        feature_idx: jax.Array | None = None,
     ) -> jax.Array:
         """``spatial_idx`` optionally supplies precomputed xyz-kNN indices
         [B, N, k] (e.g. cached across eval refinement iterations — rigid
         transforms preserve distances, so the spatial neighbor sets of a
-        transformed cloud equal the original's)."""
+        transformed cloud equal the original's).
+
+        ``feature_idx`` optionally supplies precomputed FEATURE-space kNN
+        indices for the DG block. Unlike spatial reuse this is an
+        APPROXIMATION when the input cloud has changed (pointwise features
+        are not rigid-invariant); gated by Config.reuse_feature_knn for
+        eval refinement, where the near-aligned iterations 2+ barely move
+        the feature graph."""
         from vcrnet_tpu.ops.graph import gather_neighbors, gather_max_neighbors
 
         act = lambda v: nn.leaky_relu(v, self.negative_slope)
@@ -181,17 +189,41 @@ class LPDNet(nn.Module):
         # value-matches a bf16 recompute (ops/pallas_edgeconv.py)
         int8_gather = not train
         if use_fused:
-            from vcrnet_tpu.ops.pallas_edgeconv import fused_edge_conv
+            from vcrnet_tpu.ops.pallas_edgeconv import (
+                edge_conv_from_idx, fused_edge_conv,
+            )
 
-            x1, x2 = fused_edge_conv(
-                x, a, h, k2, b2, k=self.k,
-                negative_slope=self.negative_slope,
-                int8_gather=int8_gather,
-            )
+            if feature_idx is not None:
+                x1, x2 = edge_conv_from_idx(
+                    feature_idx, a, h, k2, b2,
+                    negative_slope=self.negative_slope,
+                    int8_gather=int8_gather,
+                )
+            elif not train:
+                # the kernel materialises its selection anyway; expose it
+                # so eval refinement loops can reuse it (return_idx
+                # bypasses the VJP — eval only)
+                x1, x2, idx_f = fused_edge_conv(
+                    x, a, h, k2, b2, k=self.k,
+                    negative_slope=self.negative_slope,
+                    int8_gather=int8_gather, return_idx=True,
+                )
+                self.sow("intermediates", "feature_idx", idx_f)
+            else:
+                x1, x2 = fused_edge_conv(
+                    x, a, h, k2, b2, k=self.k,
+                    negative_slope=self.negative_slope,
+                    int8_gather=int8_gather,
+                )
         else:
-            idx_f = knn(
-                x, k=self.k, precision=self.precision, approx=self.approx_knn
-            )
+            if feature_idx is not None:
+                idx_f = feature_idx
+            else:
+                idx_f = knn(
+                    x, k=self.k, precision=self.precision,
+                    approx=self.approx_knn,
+                )
+                self.sow("intermediates", "feature_idx", idx_f)
             a_nb = gather_neighbors(a, idx_f, method=gather_method)
             z = act(a_nb + h[:, :, None, :])  # [B,N,k,128]
             x1 = z.max(axis=2)  # [B,N,128]

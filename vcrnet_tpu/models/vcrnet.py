@@ -149,13 +149,19 @@ class VCRNet(nn.Module):
         x: jax.Array,
         train: bool = False,
         spatial_idx: jax.Array | None = None,
+        feature_idx: jax.Array | None = None,
     ) -> jax.Array:
         """Embedding only — exposed so eval refinement loops can cache the
-        (unchanging) target embedding across iterations. ``spatial_idx``
-        optionally supplies precomputed xyz-kNN indices (LPDNet only)."""
+        (unchanging) target embedding across iterations. ``spatial_idx`` /
+        ``feature_idx`` optionally supply precomputed kNN selections
+        (LPDNet only; see LPDNet.__call__ for the exact-vs-approximate
+        distinction)."""
+        kw = {}
         if spatial_idx is not None:
-            return self.emb_nn(x, train=train, spatial_idx=spatial_idx)
-        return self.emb_nn(x, train=train)
+            kw["spatial_idx"] = spatial_idx
+        if feature_idx is not None:
+            kw["feature_idx"] = feature_idx
+        return self.emb_nn(x, train=train, **kw)
 
     def register_embedded(
         self,
@@ -243,6 +249,13 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     All three are exact in exact arithmetic (the reference recomputes them
     every pass), and together cut per-iteration cost by the full
     target-embedding + target-encoder + spatial-kNN time.
+
+    With ``model.cfg.reuse_feature_knn`` the source's FEATURE-space kNN
+    selection (the DG block's dynamic graph) is also reused from iteration
+    1 — an APPROXIMATION (pointwise features are not rigid-invariant),
+    acceptable because iterations 2+ are near-aligned refinements that
+    barely move the feature graph; accuracy is A/B'd like the other fast-
+    profile knobs (bench.py --accuracy).
     """
     transformed = src
     R_final = None
@@ -251,6 +264,10 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     tgt_emb = None
     tgt_memory = None
     src_spatial_idx = None
+    src_feature_idx = None
+    reuse_feat = model is not None and getattr(
+        model.cfg, "reuse_feature_knn", False
+    )
     if model is not None:
         tgt_emb = model.apply(variables, tgt, method=VCRNet.embed)
         if model.cfg.pointer == "transformer":
@@ -266,13 +283,15 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
                     variables, transformed, method=VCRNet.embed,
                     mutable=["intermediates"],
                 )
-                src_spatial_idx = _find_sown(
-                    sown.get("intermediates", {}), "spatial_idx"
-                )
+                inter = sown.get("intermediates", {})
+                src_spatial_idx = _find_sown(inter, "spatial_idx")
+                if reuse_feat:
+                    src_feature_idx = _find_sown(inter, "feature_idx")
             else:
                 src_emb = model.apply(
                     variables, transformed, method=VCRNet.embed,
                     spatial_idx=src_spatial_idx,
+                    feature_idx=src_feature_idx,
                 )
             out = model.apply(
                 variables, transformed, tgt, src_emb, tgt_emb,

@@ -365,6 +365,97 @@ def _gather_max_from_idx_kernel(
     out_ref[0] = m.astype(out_ref.dtype)
 
 
+def _edge_conv_from_idx_kernel(
+    idx_ref, a_ref, h_ref, w2_ref, b2_ref, x1_ref, x2_ref,
+    *, k: int, tile_q: int, slope: float, int8_gather: bool,
+):
+    """Edge-conv forward given PRECOMPUTED neighbor indices: no distance
+    matmul and no serial k-step selection loop — the k gathers run as ONE
+    [k*TQ, N] one-hot MXU matmul and the convDG2 conv as one [k*TQ, F]
+    matmul, then static max-trees over the k row blocks. The from-indices
+    twin of _edge_conv_kernel (same outputs given idx = its selection);
+    used when the feature-graph selection is reused across eval refinement
+    iterations (Config.reuse_feature_knn)."""
+    idx = idx_ref[0]  # [TQ, k]
+    a_full = a_ref[0]  # [N, F]
+    h = h_ref[0]  # [TQ, F]
+    w2 = w2_ref[:]  # [F, F]
+    b2 = b2_ref[0]  # [F]
+    n = a_full.shape[0]
+    h32 = h.astype(jnp.float32)
+    b32 = b2.astype(jnp.float32)
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, v * slope)
+
+    if int8_gather:
+        a8, scale = _quantize_channels(a_full)
+        onehot = _kmajor_onehot(idx, n, k, tile_q, jnp.int8)
+        g = jnp.dot(onehot, a8, preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * scale
+    else:
+        onehot = _kmajor_onehot(idx, n, k, tile_q, a_full.dtype)
+        g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
+    z = leaky(g + _kmajor_broadcast(h32, k))  # [k*TQ, F]
+    y = leaky(
+        jnp.dot(z.astype(w2.dtype), w2, preferred_element_type=jnp.float32)
+        + b32
+    )
+    x1 = z[0:tile_q]
+    x2 = y[0:tile_q]
+    for j in range(1, k):
+        x1 = jnp.maximum(x1, z[j * tile_q:(j + 1) * tile_q])
+        x2 = jnp.maximum(x2, y[j * tile_q:(j + 1) * tile_q])
+    x1_ref[0] = x1.astype(x1_ref.dtype)
+    x2_ref[0] = x2.astype(x2_ref.dtype)
+
+
+def edge_conv_from_idx(
+    idx, a, h, w2, b2, negative_slope: float = 0.0, tile_q: int = 128,
+    interpret: bool = False, int8_gather: bool = False,
+):
+    """idx [B, N, k] int32, a/h [B, N, F], w2 [F, F], b2 [F]
+    -> (x1, x2) each [B, N, F] in a's dtype: the LPDNet DG block evaluated
+    over the GIVEN neighbor selection (see _edge_conv_from_idx_kernel).
+    EVAL ONLY — no VJP (training never reuses a selection)."""
+    B, N, k = idx.shape
+    F = a.shape[-1]
+    tile_q = _pick_tile(N, tile_q)
+    # the full [k*TQ, N] one-hot is materialised (no fori_loop)
+    tile_q = _vmem_guard_tile(
+        tile_q, k, N, 1 if int8_gather else a.dtype.itemsize
+    )
+    kernel = functools.partial(
+        _edge_conv_from_idx_kernel, k=k, tile_q=tile_q,
+        slope=negative_slope, int8_gather=int8_gather,
+    )
+    out_sds = jax.ShapeDtypeStruct((B, N, F), a.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, F), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out_sds, out_sds],
+        interpret=interpret,
+    )(idx, a, h, w2, b2.reshape(1, F))
+
+
 def _gather_max_bwd_kernel(
     idx_ref, v_ref, out_ref, ct_ref, dv_ref,
     *, k: int, tile_q: int, n: int,
@@ -426,6 +517,7 @@ def fused_edge_conv(
     x, a, h, w2, b2, k: int = 20, negative_slope: float = 0.0,
     tile_q: int = 128, interpret: bool = False,
     packed_select: bool = True, int8_gather: bool = False,
+    return_idx: bool = False,
 ):
     """x [B,N,C] (distance space), a/h [B,N,F], w2 [F,F], b2 [F]
     -> (x1, x2) each [B, N, F] in a's dtype.
@@ -436,7 +528,16 @@ def fused_edge_conv(
     (slower; see _pack_scores). ``int8_gather`` runs the one-hot gather
     matmuls int8 x int8 -> int32 (2x MXU rate; table-quantization error
     only) — EVAL ONLY: the backward's value-match recompute assumes the
-    bf16 forward, so callers must keep it False when differentiating."""
+    bf16 forward, so callers must keep it False when differentiating.
+
+    ``return_idx`` additionally returns the [B, N, k] int32 neighbor
+    selection (the kernel materialises it anyway for the backward, so
+    this is free) — EVAL ONLY: the returning path bypasses the VJP."""
+    if return_idx:
+        return _fused_edge_conv_fwd_impl(
+            x, a, h, w2, b2, k, negative_slope, tile_q, interpret,
+            packed_select, int8_gather,
+        )
     return _fused_edge_conv_vjp(
         x, a, h, w2, b2, k, negative_slope, tile_q, interpret,
         packed_select, int8_gather,
