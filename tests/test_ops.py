@@ -325,21 +325,93 @@ class TestPallasEdgeConv:
             np.asarray(out8i), np.asarray(refi), atol=1e-5
         )
 
-    def test_int8_gather_refuses_gradients(self):
+    def _quant_st(self, a):
+        """Straight-through per-channel int8 quantization mirror of the
+        kernels' _quantize_channels (gradient = identity)."""
+        import jax
+
+        a32 = a.astype(jnp.float32)
+        scale = jnp.max(jnp.abs(a32), axis=1, keepdims=True) / 127.0 + 1e-30
+        aq = jnp.round(a32 / scale) * scale
+        return a32 + jax.lax.stop_gradient(aq - a32)
+
+    @staticmethod
+    def _first_claim_max(z):
+        """Max over the neighbor axis (2) whose gradient routes each
+        channel's cotangent to the FIRST maximal neighbor — the kernels'
+        value-match-claim semantics. Quantization makes value ties common,
+        where jnp.max's VJP (split among ties) would differ."""
+        j = jnp.argmax(z, axis=2)  # first max index per [B, N, F]
+        return jnp.take_along_axis(z, j[:, :, None, :], axis=2)[:, :, 0, :]
+
+    def test_int8_gather_max_grad_is_straight_through(self):
+        # grad of the int8 fused path == grad of a first-claim XLA mirror
+        # over the straight-through-quantized table, gathered in the
+        # kernel's own selection order
         import jax
         from vcrnet_tpu.ops.pallas_edgeconv import fused_knn_gather_max
 
         x, a, h, w2, b2, k = self._setup()
+        _, idx = fused_knn_gather_max(
+            x, a, k=k, interpret=True, packed_select=False,
+            int8_gather=True, return_idx=True,
+        )
+        ct = jnp.asarray(
+            np.random.RandomState(5).randn(*a.shape).astype(np.float32)
+        )
 
-        def loss(a_):
+        def loss_pallas(a_):
             return jnp.sum(
                 fused_knn_gather_max(
-                    x, a_, k=k, interpret=True, int8_gather=True
+                    x, a_, k=k, interpret=True, packed_select=False,
+                    int8_gather=True,
                 )
+                * ct
             )
 
-        with pytest.raises(NotImplementedError):
-            jax.grad(loss)(a)
+        def loss_xla(a_):
+            g = ops.gather_neighbors(self._quant_st(a_), idx)
+            return jnp.sum(self._first_claim_max(g) * ct)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_pallas)(a)),
+            np.asarray(jax.grad(loss_xla)(a)),
+            atol=1e-4,
+        )
+
+    def test_int8_edge_conv_grad_is_straight_through(self):
+        import jax
+        from vcrnet_tpu.ops.pallas_edgeconv import fused_edge_conv
+
+        x, a, h, w2, b2, k = self._setup()
+        _, _, idx = fused_edge_conv(
+            x, a, h, w2, b2, k=k, interpret=True, packed_select=False,
+            int8_gather=True, return_idx=True,
+        )
+        rngs = np.random.RandomState(6)
+        ct1 = jnp.asarray(rngs.randn(*a.shape).astype(np.float32))
+        ct2 = jnp.asarray(rngs.randn(*a.shape).astype(np.float32))
+
+        def loss_pallas(a_, h_, w2_, b2_):
+            x1, x2 = fused_edge_conv(
+                x, a_, h_, w2_, b2_, k=k, interpret=True,
+                packed_select=False, int8_gather=True,
+            )
+            return jnp.sum(x1 * ct1) + jnp.sum(x2 * ct2)
+
+        def loss_xla(a_, h_, w2_, b2_):
+            a_nb = ops.gather_neighbors(self._quant_st(a_), idx)
+            z = jnp.maximum(a_nb + h_[:, :, None, :], 0)
+            x1 = self._first_claim_max(z)
+            x2 = self._first_claim_max(jnp.maximum(z @ w2_ + b2_, 0))
+            return jnp.sum(x1 * ct1) + jnp.sum(x2 * ct2)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(a, h, w2, b2)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(a, h, w2, b2)
+        for p, r in zip(gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(p), np.asarray(r), atol=2e-4
+            )
 
     def test_vmem_guard_tile_constraints(self):
         # (ADVICE r1) shrink under pressure, but never below a multiple of 8

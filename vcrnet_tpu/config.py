@@ -110,6 +110,12 @@ class Config:
     # dequant HBM passes break XLA's fusion around the already-MXU-bound
     # projections. Kept as a tested option (tests/test_int8.py); see
     # docs/KERNELS.md.
+    int8_train_gathers: bool = False  # run the Pallas edge-conv/gather-max
+    # one-hot gathers int8 DURING TRAINING too (they are always int8 at
+    # eval). The custom backward recomputes from the same quantized table,
+    # giving the straight-through gradient of the quantized forward
+    # (tests/test_ops.py::test_int8_*_straight_through). Opt-in pending
+    # the convergence + step-time A/B on TPU.
     reuse_feature_knn: bool = False  # eval refinement: reuse iteration 1's
     # FEATURE-space kNN selection in iterations 2+ (vcrnet_iter). Unlike
     # the always-on spatial-kNN reuse (exact: rigid transforms preserve

@@ -118,6 +118,8 @@ class LPDNet(nn.Module):
     precision: Any = None
     dtype: Any = None
     approx_knn: bool = False
+    int8_train_gathers: bool = False  # int8 one-hot gathers during
+    # TRAINING too (straight-through backward); eval is always int8
 
     @nn.compact
     def __call__(
@@ -185,9 +187,10 @@ class LPDNet(nn.Module):
         if self.dtype is not None:
             k2 = k2.astype(self.dtype)
             b2 = b2.astype(self.dtype)
-        # int8 one-hot gathers: eval only — the training backward
-        # value-matches a bf16 recompute (ops/pallas_edgeconv.py)
-        int8_gather = not train
+        # int8 one-hot gathers: always at eval; during training only when
+        # opted in (the backward then recomputes from the same quantized
+        # table — straight-through gradient, ops/pallas_edgeconv.py)
+        int8_gather = (not train) or self.int8_train_gathers
         if use_fused:
             from vcrnet_tpu.ops.pallas_edgeconv import (
                 edge_conv_from_idx, fused_edge_conv,

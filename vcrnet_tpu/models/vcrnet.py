@@ -42,6 +42,7 @@ def make_embedding(cfg: Config, for_lpd_pretrain: bool = False):
             precision=precision,
             dtype=dtype,
             approx_knn=cfg.approx_knn,
+            int8_train_gathers=cfg.int8_train_gathers,
         )
     raise ValueError(f"unknown emb_nn: {cfg.emb_nn}")
 

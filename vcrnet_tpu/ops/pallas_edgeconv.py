@@ -247,7 +247,7 @@ def _edge_conv_bwd_kernel(
     idx_ref, a_ref, h_ref, w2_ref, b2_ref,
     x1_ref, x2_ref, ct1_ref, ct2_ref,
     da_ref, dh_ref, dw2_ref, db2_ref,
-    *, k: int, tile_q: int, slope: float, n: int,
+    *, k: int, tile_q: int, slope: float, n: int, int8_gather: bool,
 ):
     """Backward of _edge_conv_kernel, batched over k.
 
@@ -258,7 +258,12 @@ def _edge_conv_bwd_kernel(
     MXU op per tile. z/y are recomputed in VMEM from the indices (exact:
     same one-hot-gather + f32 ops as the forward), and the max winners are
     identified by value-match against the saved outputs (first match
-    claims, torch argmax semantics)."""
+    claims, torch argmax semantics).
+
+    ``int8_gather`` must match the forward's setting: the recompute then
+    gathers from the SAME per-channel-quantized table (deterministic, so
+    the value-match claims are exact), and the resulting da is the
+    straight-through gradient of the quantized forward (d quant/da = 1)."""
     idx = idx_ref[0]  # [TQ, k] int32
     a_full = a_ref[0]  # [N, F]
     h = h_ref[0]  # [TQ, F]
@@ -284,7 +289,13 @@ def _edge_conv_bwd_kernel(
 
     # one-hot of ALL k selections at once: [k*TQ, N]
     onehot = _kmajor_onehot(idx, n, k, tile_q, a_full.dtype)
-    g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
+    if int8_gather:
+        a8, a_scale = _quantize_channels(a_full)
+        g = jnp.dot(onehot.astype(jnp.int8), a8,
+                    preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * a_scale
+    else:
+        g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
     h_rep = _kmajor_broadcast(h32, k)
     z = leaky(g + h_rep)  # [k*TQ, F], same ops as the forward
     y = leaky(
@@ -458,11 +469,12 @@ def edge_conv_from_idx(
 
 def _gather_max_bwd_kernel(
     idx_ref, v_ref, out_ref, ct_ref, dv_ref,
-    *, k: int, tile_q: int, n: int,
+    *, k: int, tile_q: int, n: int, int8_gather: bool,
 ):
     """Backward of _gather_max_kernel, batched over k (see
     _edge_conv_bwd_kernel): dvalues[n] += ct[i] where n won query i's
-    channel-wise max (first value-match claims)."""
+    channel-wise max (first value-match claims). ``int8_gather`` must
+    match the forward (straight-through quantized recompute)."""
     idx = idx_ref[0]  # [TQ, k]
     values = v_ref[0]  # [N, F]
     out32 = out_ref[0].astype(jnp.float32)  # [TQ, F]
@@ -470,7 +482,13 @@ def _gather_max_bwd_kernel(
     out_dt = out_ref.dtype
 
     onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
-    g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
+    if int8_gather:
+        v8, v_scale = _quantize_channels(values)
+        g = jnp.dot(onehot.astype(jnp.int8), v8,
+                    preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * v_scale
+    else:
+        g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
     take = _claim_first(g, out32, out_dt, tile_q, k)
     dv = jax.lax.dot_general(
         onehot, (take * _kmajor_broadcast(ct, k)).astype(values.dtype),
@@ -527,8 +545,10 @@ def fused_edge_conv(
     torch.topk). ``packed_select=False`` selects by exact-f32 argmax
     (slower; see _pack_scores). ``int8_gather`` runs the one-hot gather
     matmuls int8 x int8 -> int32 (2x MXU rate; table-quantization error
-    only) — EVAL ONLY: the backward's value-match recompute assumes the
-    bf16 forward, so callers must keep it False when differentiating.
+    only); under differentiation the backward recomputes from the SAME
+    quantized table, yielding the straight-through gradient of the
+    quantized forward (gate via Config.int8_train_gathers — convergence
+    is an A/B question like every quantized-training knob).
 
     ``return_idx`` additionally returns the [B, N, k] int32 neighbor
     selection (the kernel materialises it anyway for the backward, so
@@ -560,12 +580,6 @@ def _fused_edge_conv_fwd(
     x, a, h, w2, b2, k, negative_slope, tile_q, interpret, packed_select,
     int8_gather,
 ):
-    if int8_gather:
-        raise NotImplementedError(
-            "int8_gather is an eval-only fast path: the Pallas backward "
-            "value-matches a bf16 recompute (use int8_gather=False when "
-            "taking gradients)"
-        )
     x1, x2, idx = _fused_edge_conv_fwd_impl(
         x, a, h, w2, b2, k, negative_slope, tile_q, interpret,
         packed_select, int8_gather,
@@ -585,10 +599,14 @@ def _fused_edge_conv_bwd(
     tile_q = _pick_tile(N, tile_q)
     # the backward materialises the full [k*TQ, N] one-hot (no fori_loop).
     # 6 MB budget: keeps the proven tile 128 at (k=20, N=1024, bf16)
-    # [5.2 MB] while still shrinking at N>=2048 where Mosaic would fail
-    tile_q = _vmem_guard_tile(tile_q, k, N, a.dtype.itemsize, budget=6 << 20)
+    # [5.2 MB] while still shrinking at N>=2048 where Mosaic would fail.
+    # With int8 gathers an int8 CAST of the one-hot is also live — shrink
+    # the budget so both copies stay within the forward's envelope.
+    budget = (4 << 20) if int8_gather else (6 << 20)
+    tile_q = _vmem_guard_tile(tile_q, k, N, a.dtype.itemsize, budget=budget)
     kernel = functools.partial(
-        _edge_conv_bwd_kernel, k=k, tile_q=tile_q, slope=negative_slope, n=N
+        _edge_conv_bwd_kernel, k=k, tile_q=tile_q, slope=negative_slope,
+        n=N, int8_gather=int8_gather,
     )
     tile_spec = lambda f: pl.BlockSpec(
         (1, tile_q, f), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -701,8 +719,8 @@ def fused_knn_gather_max(
     reuse the selection (e.g. across eval refinement iterations).
 
     Differentiable wrt ``values`` via a Pallas backward kernel (x gets
-    zeros — kNN indices carry no gradient). ``int8_gather`` is EVAL ONLY
-    (see fused_edge_conv)."""
+    zeros — kNN indices carry no gradient). ``int8_gather``: see
+    fused_edge_conv (straight-through under differentiation)."""
     out, idx = _fused_gather_max_vjp(
         x, values, k, tile_q, interpret, packed_select, int8_gather
     )
@@ -721,10 +739,6 @@ def _fused_gather_max_vjp(
 def _fused_gather_max_fwd(
     x, values, k, tile_q, interpret, packed_select, int8_gather
 ):
-    if int8_gather:
-        raise NotImplementedError(
-            "int8_gather is an eval-only fast path (see fused_edge_conv)"
-        )
     out, idx = _fused_gather_max_impl(
         x, values, k, tile_q, interpret, packed_select, int8_gather
     )
@@ -739,12 +753,14 @@ def _fused_gather_max_bwd(
     B, N, F = values.shape
     tile_q = _pick_tile(N, tile_q)
     # the backward materialises the full [k*TQ, N] one-hot (no fori_loop);
-    # 6 MB budget — see _fused_edge_conv_bwd
+    # 6 MB budget — see _fused_edge_conv_bwd (4 MB with the int8 cast copy)
+    budget = (4 << 20) if int8_gather else (6 << 20)
     tile_q = _vmem_guard_tile(
-        tile_q, k, N, values.dtype.itemsize, budget=6 << 20
+        tile_q, k, N, values.dtype.itemsize, budget=budget
     )
     kernel = functools.partial(
-        _gather_max_bwd_kernel, k=k, tile_q=tile_q, n=N
+        _gather_max_bwd_kernel, k=k, tile_q=tile_q, n=N,
+        int8_gather=int8_gather,
     )
     dv = pl.pallas_call(
         kernel,
@@ -781,7 +797,8 @@ def gather_max_from_idx(
     The from-indices twin of fused_knn_gather_max (same output given
     idx = knn(x)), skipping the distance matmul and the k-step argmax.
     Differentiable wrt ``values`` (idx carries no gradient).
-    ``int8_gather`` is EVAL ONLY (see fused_edge_conv)."""
+    ``int8_gather``: see fused_edge_conv (straight-through under
+    differentiation)."""
     return _gather_max_from_idx_vjp(idx, values, tile_q, interpret,
                                     int8_gather)
 
@@ -794,10 +811,6 @@ def _gather_max_from_idx_vjp(idx, values, tile_q, interpret, int8_gather):
 
 
 def _gather_max_from_idx_fwd(idx, values, tile_q, interpret, int8_gather):
-    if int8_gather:
-        raise NotImplementedError(
-            "int8_gather is an eval-only fast path (see fused_edge_conv)"
-        )
     out = _gather_max_from_idx_impl(
         idx, values, tile_q, interpret, int8_gather
     )
@@ -810,7 +823,7 @@ def _gather_max_from_idx_bwd(tile_q, interpret, int8_gather, res, ct):
     idx, values, out = res
     # same VJP as fused_knn_gather_max, driven by the saved indices
     _, dv = _fused_gather_max_bwd(
-        idx.shape[-1], tile_q, interpret, True, False,
+        idx.shape[-1], tile_q, interpret, True, int8_gather,
         (idx, values, out, jnp.zeros(idx.shape[:2] + (1,), values.dtype)),
         (ct, None),
     )
