@@ -52,13 +52,16 @@ def _model_and_inputs(batch: int, partial: bool, n_iter: int):
     from vcrnet_tpu.config import Config
     from vcrnet_tpu.models import VCRNet
 
+    # A/B knob for the approximate feature-graph reuse across refinement
+    # iterations: VCRNET_REUSE_FEATURE_KNN=<refresh count> (1 = reuse
+    # iteration 1's graph everywhere, 2 = refresh once at iteration 2).
+    # Accuracy side: --accuracy with the same env var.
+    reuse_env = os.environ.get("VCRNET_REUSE_FEATURE_KNN", "")
     cfg = Config(
         num_points=1024, emb_dims=512, compute_dtype="bfloat16",
         partial=partial, overlap=0.575 if partial else 0.75, iter=n_iter,
-        # A/B knob for the approximate feature-graph reuse across
-        # refinement iterations (accuracy side: --accuracy with the same
-        # env var; see Config.reuse_feature_knn)
-        reuse_feature_knn=bool(os.environ.get("VCRNET_REUSE_FEATURE_KNN")),
+        reuse_feature_knn=bool(reuse_env),
+        feature_knn_refresh=int(reuse_env) if reuse_env.isdigit() else 1,
     )
     model = VCRNet(cfg=cfg)
     rng = np.random.RandomState(0)
@@ -162,7 +165,7 @@ def accuracy_report(n_items: int = 96) -> dict:
     import os
 
     t7 = "/root/reference/pretrained/lpd-pretrained.t7"
-    reuse_feat = bool(os.environ.get("VCRNET_REUSE_FEATURE_KNN"))
+    reuse_env = os.environ.get("VCRNET_REUSE_FEATURE_KNN", "")
     protos = {
         "whole_iter1": dict(iter=1),
         "whole_iter3": dict(iter=3),
@@ -177,7 +180,11 @@ def accuracy_report(n_items: int = 96) -> dict:
             )
             if profile == "fast":
                 kw.update(
-                    compute_dtype="bfloat16", reuse_feature_knn=reuse_feat
+                    compute_dtype="bfloat16",
+                    reuse_feature_knn=bool(reuse_env),
+                    feature_knn_refresh=(
+                        int(reuse_env) if reuse_env.isdigit() else 1
+                    ),
                 )
             cfg = Config(**kw)
             trainer = Trainer(cfg)

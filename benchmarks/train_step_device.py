@@ -3,8 +3,10 @@ chaining steps inside one jit (lax.scan) so the tunnel's ~30 ms host-fetch
 latency cancels out — the honest number data-parallel scaling multiplies.
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/train_step_device.py [B]
+(set VCRNET_INT8_TRAIN_GATHERS=1 to A/B Config.int8_train_gathers)
 """
 
+import os
 import sys
 import time
 
@@ -23,6 +25,7 @@ def main():
     cfg = Config(
         num_points=1024, emb_dims=512, batch_size=B,
         compute_dtype="bfloat16",
+        int8_train_gathers=bool(os.environ.get("VCRNET_INT8_TRAIN_GATHERS")),
     )
     trainer = Trainer(cfg)
     rng = np.random.RandomState(0)

@@ -389,3 +389,21 @@ class TestIterCachedEmbedding:
         np.testing.assert_allclose(
             np.linalg.det(np.asarray(out[2])), 1.0, atol=1e-4
         )
+
+        # (d) refresh >= n_iter means every iteration is fresh — EXACTLY
+        # the flag-off path
+        model_all_fresh = VCRNet(
+            cfg=cfg.replace(feature_knn_refresh=3)
+        )
+        three_fresh = vcrnet_iter(
+            model_all_fresh.apply, variables, src, tgt, n_iter=3,
+            model=model_all_fresh,
+        )
+        model_off3 = VCRNet(cfg=cfg.replace(reuse_feature_knn=False))
+        three_off = vcrnet_iter(
+            model_off3.apply, variables, src, tgt, n_iter=3, model=model_off3
+        )
+        for a, b in zip(three_fresh, three_off):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )

@@ -74,8 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_shape", type=int, default=None)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--reuse_feature_knn", action="store_true", default=False,
-                   help="eval refinement: reuse iteration 1's feature-graph "
-                        "kNN in iterations 2+ (approximate; see Config)")
+                   help="eval refinement: reuse an earlier iteration's "
+                        "feature-graph kNN in later ones (approximate)")
+    p.add_argument("--feature_knn_refresh", type=int, default=1,
+                   help="with --reuse_feature_knn: leading iterations that "
+                        "compute a fresh feature graph (see Config)")
     p.add_argument("--pretrained_t7", type=str, default="",
                    help="optional LPDNet .t7 to warm-start the embedding")
     p.add_argument("--show_worst", type=int, default=0,

@@ -116,12 +116,18 @@ class Config:
     # giving the straight-through gradient of the quantized forward
     # (tests/test_ops.py::test_int8_*_straight_through). Opt-in pending
     # the convergence + step-time A/B on TPU.
-    reuse_feature_knn: bool = False  # eval refinement: reuse iteration 1's
-    # FEATURE-space kNN selection in iterations 2+ (vcrnet_iter). Unlike
-    # the always-on spatial-kNN reuse (exact: rigid transforms preserve
-    # distances) this is an APPROXIMATION — pointwise features are not
-    # rigid-invariant — so it stays opt-in pending the accuracy/throughput
-    # A/B (bench.py --accuracy) like the other fast-profile knobs.
+    reuse_feature_knn: bool = False  # eval refinement: reuse a previous
+    # iteration's FEATURE-space kNN selection in later iterations
+    # (vcrnet_iter). Unlike the always-on spatial-kNN reuse (exact: rigid
+    # transforms preserve distances) this is an APPROXIMATION — pointwise
+    # features are not rigid-invariant — so it stays opt-in pending the
+    # accuracy/throughput A/B (bench.py --accuracy).
+    feature_knn_refresh: int = 1  # with reuse_feature_knn: how many leading
+    # refinement iterations compute a FRESH feature graph; later iterations
+    # reuse the last one. 1 = reuse iteration 1's graph everywhere (max
+    # speed); 2 = recompute once more on the near-aligned iteration-2 cloud
+    # (measurably closer to exact — the iteration-1 cloud is still far from
+    # the target pose) and reuse only for iterations 3+.
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all
 
     # ---- derived (computed in __post_init__) ----

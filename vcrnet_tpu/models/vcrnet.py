@@ -252,11 +252,13 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     target-embedding + target-encoder + spatial-kNN time.
 
     With ``model.cfg.reuse_feature_knn`` the source's FEATURE-space kNN
-    selection (the DG block's dynamic graph) is also reused from iteration
-    1 — an APPROXIMATION (pointwise features are not rigid-invariant),
-    acceptable because iterations 2+ are near-aligned refinements that
-    barely move the feature graph; accuracy is A/B'd like the other fast-
-    profile knobs (bench.py --accuracy).
+    selection (the DG block's dynamic graph) is also reused across later
+    iterations — an APPROXIMATION (pointwise features are not
+    rigid-invariant). ``model.cfg.feature_knn_refresh`` sets how many
+    leading iterations compute a fresh graph before reuse starts (1 =
+    reuse iteration 1's graph everywhere; 2 = refresh once on the
+    near-aligned iteration-2 cloud, measurably closer to exact). Accuracy
+    is A/B'd like the other fast-profile knobs (bench.py --accuracy).
     """
     transformed = src
     R_final = None
@@ -269,6 +271,9 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     reuse_feat = model is not None and getattr(
         model.cfg, "reuse_feature_knn", False
     )
+    refresh = max(1, getattr(model.cfg, "feature_knn_refresh", 1)) if (
+        reuse_feat
+    ) else 1
     if model is not None:
         tgt_emb = model.apply(variables, tgt, method=VCRNet.embed)
         if model.cfg.pointer == "transformer":
@@ -277,15 +282,19 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
             )
     for i in range(n_iter):
         if model is not None:
-            if i == 0 and model.cfg.emb_nn == "lpdnet":
-                # the first embedding pass sows the spatial (xyz) kNN
-                # selection it computes anyway; reuse it for iterations 2+
+            fresh_graph = i == 0 or (reuse_feat and i < refresh)
+            if fresh_graph and model.cfg.emb_nn == "lpdnet":
+                # a fresh-graph pass sows the selections it computes
+                # anyway (spatial xyz-kNN and the DG feature graph);
+                # later iterations reuse them
                 src_emb, sown = model.apply(
                     variables, transformed, method=VCRNet.embed,
                     mutable=["intermediates"],
+                    spatial_idx=src_spatial_idx,
                 )
                 inter = sown.get("intermediates", {})
-                src_spatial_idx = _find_sown(inter, "spatial_idx")
+                if src_spatial_idx is None:
+                    src_spatial_idx = _find_sown(inter, "spatial_idx")
                 if reuse_feat:
                     src_feature_idx = _find_sown(inter, "feature_idx")
             else:
