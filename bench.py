@@ -45,6 +45,23 @@ _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 NORTH_STAR = 625.0  # pairs/s/chip
 
 
+def _reuse_knob() -> dict:
+    """Parse VCRNET_REUSE_FEATURE_KNN into Config kwargs (single source for
+    both the throughput and --accuracy paths). '' / '0' / 'false' / 'off' =
+    reuse OFF; a positive integer enables reuse with that refresh count;
+    any other truthy value = refresh 1."""
+    import os
+
+    v = os.environ.get("VCRNET_REUSE_FEATURE_KNN", "").strip().lower()
+    if v in ("", "0", "false", "off", "no"):
+        return {"reuse_feature_knn": False, "feature_knn_refresh": 1}
+    refresh = int(v) if v.isdigit() else 1
+    return {
+        "reuse_feature_knn": True,
+        "feature_knn_refresh": max(1, refresh),
+    }
+
+
 def _model_and_inputs(batch: int, partial: bool, n_iter: int):
     import os
 
@@ -56,12 +73,10 @@ def _model_and_inputs(batch: int, partial: bool, n_iter: int):
     # iterations: VCRNET_REUSE_FEATURE_KNN=<refresh count> (1 = reuse
     # iteration 1's graph everywhere, 2 = refresh once at iteration 2).
     # Accuracy side: --accuracy with the same env var.
-    reuse_env = os.environ.get("VCRNET_REUSE_FEATURE_KNN", "")
     cfg = Config(
         num_points=1024, emb_dims=512, compute_dtype="bfloat16",
         partial=partial, overlap=0.575 if partial else 0.75, iter=n_iter,
-        reuse_feature_knn=bool(reuse_env),
-        feature_knn_refresh=int(reuse_env) if reuse_env.isdigit() else 1,
+        **_reuse_knob(),
     )
     model = VCRNet(cfg=cfg)
     rng = np.random.RandomState(0)
@@ -162,10 +177,7 @@ def accuracy_report(n_items: int = 96) -> dict:
         load_t7_lpdnet, merge_pretrained_embedding,
     )
 
-    import os
-
     t7 = "/root/reference/pretrained/lpd-pretrained.t7"
-    reuse_env = os.environ.get("VCRNET_REUSE_FEATURE_KNN", "")
     protos = {
         "whole_iter1": dict(iter=1),
         "whole_iter3": dict(iter=3),
@@ -179,13 +191,7 @@ def accuracy_report(n_items: int = 96) -> dict:
                 num_points=1024, emb_dims=512, test_batch_size=24, **pkw
             )
             if profile == "fast":
-                kw.update(
-                    compute_dtype="bfloat16",
-                    reuse_feature_knn=bool(reuse_env),
-                    feature_knn_refresh=(
-                        int(reuse_env) if reuse_env.isdigit() else 1
-                    ),
-                )
+                kw.update(compute_dtype="bfloat16", **_reuse_knob())
             cfg = Config(**kw)
             trainer = Trainer(cfg)
             ds = SyntheticDataset(
@@ -269,10 +275,11 @@ def _probe_tpu_responsive(timeout_s: float = 240.0) -> None:
 
 
 def main():
+    _probe_tpu_responsive()  # before EVERY mode — --accuracy is the
+    # longest-running one and must not hang silently on a dead tunnel
     if "--accuracy" in sys.argv:
         print(json.dumps({"accuracy": accuracy_report()}))
         return
-    _probe_tpu_responsive()
     configs = {}
     configs["whole_iter1"] = _best_over_batches(
         False, 1, (64, 128, 256, 512)

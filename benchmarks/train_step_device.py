@@ -22,10 +22,12 @@ from vcrnet_tpu.train import Trainer
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    int8 = os.environ.get(
+        "VCRNET_INT8_TRAIN_GATHERS", ""
+    ).strip().lower() not in ("", "0", "false", "off", "no")
     cfg = Config(
         num_points=1024, emb_dims=512, batch_size=B,
-        compute_dtype="bfloat16",
-        int8_train_gathers=bool(os.environ.get("VCRNET_INT8_TRAIN_GATHERS")),
+        compute_dtype="bfloat16", int8_train_gathers=int8,
     )
     trainer = Trainer(cfg)
     rng = np.random.RandomState(0)

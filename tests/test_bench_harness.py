@@ -18,6 +18,29 @@ def _skip_tpu_probe(monkeypatch):
     monkeypatch.setattr(bench, "_probe_tpu_responsive", lambda **kw: None)
 
 
+def test_reuse_knob_parsing(monkeypatch):
+    # '0'/'false'/'off' must mean OFF (an A/B control arm), not max reuse
+    for off in ("", "0", "false", "off", "no", "False", "OFF"):
+        monkeypatch.setenv("VCRNET_REUSE_FEATURE_KNN", off)
+        assert bench._reuse_knob() == {
+            "reuse_feature_knn": False, "feature_knn_refresh": 1,
+        }, off
+    monkeypatch.setenv("VCRNET_REUSE_FEATURE_KNN", "1")
+    assert bench._reuse_knob() == {
+        "reuse_feature_knn": True, "feature_knn_refresh": 1,
+    }
+    monkeypatch.setenv("VCRNET_REUSE_FEATURE_KNN", "2")
+    assert bench._reuse_knob() == {
+        "reuse_feature_knn": True, "feature_knn_refresh": 2,
+    }
+    monkeypatch.setenv("VCRNET_REUSE_FEATURE_KNN", "on")
+    assert bench._reuse_knob() == {
+        "reuse_feature_knn": True, "feature_knn_refresh": 1,
+    }
+    monkeypatch.delenv("VCRNET_REUSE_FEATURE_KNN")
+    assert bench._reuse_knob()["reuse_feature_knn"] is False
+
+
 def test_best_over_batches_stops_after_failed_batch(monkeypatch):
     calls = []
 
