@@ -91,9 +91,86 @@ def train_variant(name, batch, int8):
     )
 
 
+def _chained_op_ms(fn, x0, t_short=4, t_long=16, reps=5):
+    """Chained-scan device time of one op (ms): feed each step's output
+    back as input so nothing is elided; difference two chain lengths so
+    the tunnel fetch cancels."""
+    import time
+
+    import jax.numpy as jnp
+
+    def chained(x, n_steps):
+        def body(c, _):
+            o = fn(c)
+            return c + 1e-9 * o[..., :1], o.ravel()[0]
+
+        c, _ = jax.lax.scan(body, x, None, length=n_steps)
+        return c.ravel()[0]
+
+    fs = {}
+    for T in (t_short, t_long):
+        fs[T] = jax.jit(lambda v, TT=T: chained(v, TT))
+        np.asarray(fs[T](x0))
+    ds = []
+    for _ in range(reps):
+        out = {}
+        for T in (t_short, t_long):
+            t0 = time.perf_counter()
+            np.asarray(fs[T](x0))
+            out[T] = time.perf_counter() - t0
+        ds.append((out[t_long] - out[t_short]) / (t_long - t_short))
+    return float(np.median(ds)) * 1000
+
+
+def kernel_variants(B=64, N=1024, F=128, k=20):
+    """Deferred-vs-interleaved gather A/B on the fused forward kernels at
+    protocol shapes (eval mode: packed select + int8 gathers)."""
+    import jax.numpy as jnp
+
+    from vcrnet_tpu.ops.pallas_edgeconv import (
+        _fused_edge_conv_fwd_impl, _fused_gather_max_impl,
+    )
+
+    rng = np.random.RandomState(0)
+    # model shapes: DG kNN runs on the 64-dim conv2 features with 128-dim
+    # edge values; the SN gather-max runs on xyz (3-dim) with 256-dim values
+    x64 = jnp.asarray(rng.rand(B, N, 64).astype(np.float32), jnp.bfloat16)
+    x3 = jnp.asarray(rng.rand(B, N, 3).astype(np.float32), jnp.bfloat16)
+    a = jnp.asarray(rng.randn(B, N, F).astype(np.float32), jnp.bfloat16)
+    h = jnp.asarray(rng.randn(B, N, F).astype(np.float32), jnp.bfloat16)
+    w2 = jnp.asarray(rng.randn(F, F).astype(np.float32) * 0.1, jnp.bfloat16)
+    b2 = jnp.asarray(rng.randn(F).astype(np.float32) * 0.1, jnp.bfloat16)
+    a2 = jnp.asarray(
+        rng.randn(B, N, 2 * F).astype(np.float32), jnp.bfloat16
+    )
+    for int8 in (True, False):
+        tag = "int8" if int8 else "bf16"
+        for deferred in (False, True):
+            name = f"edge_conv {tag} deferred={deferred}"
+            ms = _chained_op_ms(
+                lambda v, d=deferred, i8=int8: _fused_edge_conv_fwd_impl(
+                    v, a, h, w2, b2, k, 0.0, 128, False, True, i8,
+                    deferred_gather=d,
+                )[1],
+                x64,
+            )
+            print(f"{name:36s} {ms:7.2f} ms", flush=True)
+        for deferred in (False, True):
+            name = f"gather_max {tag} deferred={deferred}"
+            ms = _chained_op_ms(
+                lambda v, d=deferred, i8=int8: _fused_gather_max_impl(
+                    v, a2, k, 128, False, True, i8, deferred_gather=d
+                )[0],
+                x3,
+            )
+            print(f"{name:36s} {ms:7.2f} ms", flush=True)
+
+
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     only = sys.argv[2] if len(sys.argv) > 2 else "all"
+    if only in ("all", "kernels"):
+        kernel_variants(B)
     if only in ("all", "eval"):
         for partial, tag in ((False, "whole_iter3"), (True, "partial_iter3")):
             eval_variant(f"{tag} reuse=off", B, partial, "")

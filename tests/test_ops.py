@@ -281,6 +281,42 @@ class TestPallasEdgeConv:
             == np.sort(np.asarray(ref_idx), axis=-1)
         )
 
+    def test_deferred_gather_matches_interleaved(self):
+        # the deferred-gather kernel variant (select first, then one big
+        # one-hot gather + conv) must reproduce the in-loop variant
+        # EXACTLY in every mode combination
+        from vcrnet_tpu.ops.pallas_edgeconv import (
+            _fused_edge_conv_fwd_impl, _fused_gather_max_impl,
+        )
+
+        x, a, h, w2, b2, k = self._setup()
+        for packed in (True, False):
+            for int8 in (True, False):
+                ec_il = _fused_edge_conv_fwd_impl(
+                    x, a, h, w2, b2, k, 0.2, 128, True, packed, int8,
+                    deferred_gather=False,
+                )
+                ec_df = _fused_edge_conv_fwd_impl(
+                    x, a, h, w2, b2, k, 0.2, 128, True, packed, int8,
+                    deferred_gather=True,
+                )
+                for o_il, o_df in zip(ec_il, ec_df):
+                    np.testing.assert_array_equal(
+                        np.asarray(o_il), np.asarray(o_df),
+                        err_msg=f"packed={packed} int8={int8}",
+                    )
+                gm_il = _fused_gather_max_impl(
+                    x, a, k, 128, True, packed, int8, deferred_gather=False
+                )
+                gm_df = _fused_gather_max_impl(
+                    x, a, k, 128, True, packed, int8, deferred_gather=True
+                )
+                for o_il, o_df in zip(gm_il, gm_df):
+                    np.testing.assert_array_equal(
+                        np.asarray(o_il), np.asarray(o_df),
+                        err_msg=f"packed={packed} int8={int8}",
+                    )
+
     def test_gather_max_from_idx_large_n_vmem_guard(self):
         # at large N the [k*TQ, N] one-hot must shrink its query tile to
         # stay within VMEM; verify the guarded tiling stays exact

@@ -28,11 +28,22 @@ matching torch.topk (reference util/util.py:143-160).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Deferred-gather variant of the fused forward kernels: run the k-step
+# selection loop FIRST (VPU-only), then all gathers + the convDG2 conv as
+# single large MXU matmuls (the structure of the from-idx/backward
+# kernels) instead of interleaving an MXU gather into every serial
+# selection step. A/B gate, overridable per-run for on-TPU measurement:
+# VCRNET_DEFERRED_GATHER=1.
+DEFERRED_DEFAULT = os.environ.get(
+    "VCRNET_DEFERRED_GATHER", ""
+).strip().lower() not in ("", "0", "false", "off", "no")
 
 
 def _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q):
@@ -169,6 +180,105 @@ def _edge_conv_kernel(
 
     x1_ref[0] = x1.astype(x1_ref.dtype)
     x2_ref[0] = x2.astype(x2_ref.dtype)
+    idx_ref[0] = idx
+
+
+def _select_knn_idx(scores, col_ids, k: int, tile_q: int,
+                    packed_select: bool):
+    """The k-step serial selection ONLY (no interleaved gathers): returns
+    the [TQ, k] neighbor indices. Each step is a max-reduce + mask over
+    [TQ, N] — pure VPU work with no MXU op serialized between steps."""
+    neg_inf = jnp.float32(-jnp.inf)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
+    if packed_select:
+        scores, mask = _pack_scores(scores, col_ids, scores.shape[-1])
+
+    def body(j, carry):
+        scores, idx = carry
+        if packed_select:
+            _, amax, scores = _packed_pop_max(scores, mask)
+        else:
+            amax = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            scores = jnp.where(col_ids == amax[:, None], neg_inf, scores)
+        idx = jnp.where(k_ids == j, amax[:, None], idx)
+        return scores, idx
+
+    _, idx = jax.lax.fori_loop(
+        0, k, body, (scores, jnp.zeros((tile_q, k), jnp.int32))
+    )
+    return idx
+
+
+def _edge_conv_deferred_kernel(
+    x_q_ref, x_k_ref, norms_ref, a_ref, h_ref, w2_ref, b2_ref,
+    x1_ref, x2_ref, idx_ref, *, k: int, tile_q: int, slope: float,
+    packed_select: bool, int8_gather: bool,
+):
+    """_edge_conv_kernel with the gathers DEFERRED out of the selection
+    loop: select all k indices first (VPU-only serial chain), then run the
+    neighbor combine as ONE [k*TQ, N] one-hot gather matmul + ONE
+    [k*TQ, F] conv matmul + static max-trees (the structure of
+    _edge_conv_from_idx_kernel). Trades [k*TQ, N] VMEM residency for
+    removing k MXU ops from the serial chain and running the gathers at
+    full-matmul efficiency."""
+    scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
+    idx = _select_knn_idx(scores, col_ids, k, tile_q, packed_select)
+    a_full = a_ref[0]
+    h = h_ref[0]
+    w2 = w2_ref[:]
+    b2 = b2_ref[0]
+    n = a_full.shape[0]
+    h32 = h.astype(jnp.float32)
+    b32 = b2.astype(jnp.float32)
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, v * slope)
+
+    if int8_gather:
+        a8, scale = _quantize_channels(a_full)
+        onehot = _kmajor_onehot(idx, n, k, tile_q, jnp.int8)
+        g = jnp.dot(onehot, a8, preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * scale
+    else:
+        onehot = _kmajor_onehot(idx, n, k, tile_q, a_full.dtype)
+        g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
+    z = leaky(g + _kmajor_broadcast(h32, k))
+    y = leaky(
+        jnp.dot(z.astype(w2.dtype), w2, preferred_element_type=jnp.float32)
+        + b32
+    )
+    x1 = z[0:tile_q]
+    x2 = y[0:tile_q]
+    for j in range(1, k):
+        x1 = jnp.maximum(x1, z[j * tile_q:(j + 1) * tile_q])
+        x2 = jnp.maximum(x2, y[j * tile_q:(j + 1) * tile_q])
+    x1_ref[0] = x1.astype(x1_ref.dtype)
+    x2_ref[0] = x2.astype(x2_ref.dtype)
+    idx_ref[0] = idx
+
+
+def _gather_max_deferred_kernel(
+    x_q_ref, x_k_ref, norms_ref, v_ref, out_ref, idx_ref,
+    *, k: int, tile_q: int, packed_select: bool, int8_gather: bool,
+):
+    """_gather_max_kernel with deferred gathers (see
+    _edge_conv_deferred_kernel)."""
+    scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
+    idx = _select_knn_idx(scores, col_ids, k, tile_q, packed_select)
+    values = v_ref[0]
+    n = values.shape[0]
+    if int8_gather:
+        v8, scale = _quantize_channels(values)
+        onehot = _kmajor_onehot(idx, n, k, tile_q, jnp.int8)
+        g = jnp.dot(onehot, v8, preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * scale
+    else:
+        onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
+        g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
+    m = g[0:tile_q]
+    for j in range(1, k):
+        m = jnp.maximum(m, g[j * tile_q:(j + 1) * tile_q])
+    out_ref[0] = m.astype(out_ref.dtype)
     idx_ref[0] = idx
 
 
@@ -662,13 +772,23 @@ _fused_edge_conv_vjp.defvjp(_fused_edge_conv_fwd, _fused_edge_conv_bwd)
 def _fused_edge_conv_fwd_impl(
     x, a, h, w2, b2, k: int, negative_slope: float,
     tile_q: int, interpret: bool, packed_select: bool = True,
-    int8_gather: bool = False,
+    int8_gather: bool = False, deferred_gather: bool | None = None,
 ):
+    if deferred_gather is None:
+        deferred_gather = DEFERRED_DEFAULT
     B, N, C = x.shape
     F = a.shape[-1]
     tile_q = _pick_tile(N, tile_q)
+    if deferred_gather:
+        # the deferred kernel materialises the [k*TQ, N] one-hot
+        tile_q = _vmem_guard_tile(
+            tile_q, k, N, 1 if int8_gather else a.dtype.itemsize
+        )
+        kern_fn = _edge_conv_deferred_kernel
+    else:
+        kern_fn = _edge_conv_kernel
     kernel = functools.partial(
-        _edge_conv_kernel, k=k, tile_q=tile_q, slope=negative_slope,
+        kern_fn, k=k, tile_q=tile_q, slope=negative_slope,
         packed_select=packed_select, int8_gather=int8_gather,
     )
     out_sds = jax.ShapeDtypeStruct((B, N, F), a.dtype)
@@ -871,12 +991,22 @@ def _gather_max_from_idx_impl(
 def _fused_gather_max_impl(
     x, values, k: int, tile_q: int, interpret: bool,
     packed_select: bool = True, int8_gather: bool = False,
+    deferred_gather: bool | None = None,
 ):
+    if deferred_gather is None:
+        deferred_gather = DEFERRED_DEFAULT
     B, N, C = x.shape
     F = values.shape[-1]
     tile_q = _pick_tile(N, tile_q)
+    if deferred_gather:
+        tile_q = _vmem_guard_tile(
+            tile_q, k, N, 1 if int8_gather else values.dtype.itemsize
+        )
+        kern_fn = _gather_max_deferred_kernel
+    else:
+        kern_fn = _gather_max_kernel
     kernel = functools.partial(
-        _gather_max_kernel, k=k, tile_q=tile_q,
+        kern_fn, k=k, tile_q=tile_q,
         packed_select=packed_select, int8_gather=int8_gather,
     )
     idx_sds = jax.ShapeDtypeStruct((B, N, k), jnp.int32)
