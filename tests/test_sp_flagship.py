@@ -135,6 +135,40 @@ def test_flagship_sp_partial_matches_model():
     )
 
 
+def test_flagship_dp_sp_2d_mesh_partial_matches_model():
+    """Regression: partial-mode VCP on a 2-D dp x sp mesh must use the
+    POINT-axis shard count, not the total device count — with the total
+    (8) instead of the 'data' size (4), stage-2 rescoring covered only
+    half the K1 candidate rows and R was off by ~0.2."""
+    mesh2 = make_mesh_2d(2)  # 2 (batch) x 4 (points)
+    cfg = Config(
+        num_points=N, emb_dims=E, ff_dims=128, partial=True, overlap=0.575
+    )
+    n = cfg.n_cropped - (cfg.n_cropped % mesh2.shape["data"])
+    model = VCRNet(cfg=cfg)
+    rng = np.random.RandomState(4)
+    src = rng.rand(B, n, 3).astype(np.float32) - 0.5
+    tgt = rng.rand(B, n, 3).astype(np.float32) - 0.5
+    variables = model.init(jax.random.PRNGKey(0), src[:1], tgt[:1])
+
+    out_ref = model.apply(variables, jnp.asarray(src), jnp.asarray(tgt))
+    sp = lambda a: shard_points(jnp.asarray(a), mesh2, batch_axis="batch")
+    src_k, corr, R, t = register_flagship_sp(
+        variables["params"], sp(src), sp(tgt), mesh2,
+        n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+        partial_mode=True, overlap2=cfg.overlap2, batch_axis="batch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(src_k), np.asarray(out_ref[0]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(corr), np.asarray(out_ref[1]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(R), np.asarray(out_ref[2]), atol=1e-3
+    )
+
+
 def test_sp_gradients_match_single_device(setup):
     cfg, model, variables, src, tgt, mesh = setup
     R_gt = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))

@@ -110,6 +110,12 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    # parse BEFORE touching the backend: jax.default_backend() forces full
+    # TPU client init, which must not gate --help / argparse errors (on the
+    # tunnel backend it can block for a long round-trip, or hang outright
+    # during an outage)
+    args = build_parser().parse_args(argv)
+
     try:
         if jax.default_backend() == "tpu":
             # persistent compile cache: CLI reruns skip the cold XLA/Mosaic
@@ -124,7 +130,6 @@ def main(argv=None):
     except RuntimeError:
         pass  # no backend at all (e.g. doc builds); nothing to cache
 
-    args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     np.random.seed(cfg.seed)
 

@@ -76,7 +76,7 @@ def _fwd_library(q, k, v, sm_scale: float, nk_valid: int, save: bool):
 def _bwd_kernel(
     q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     dq_ref, dk_ref, dv_ref,
-    *, sm_scale: float, nk_valid: int, tile_q: int,
+    *, sm_scale: float, nk_valid: int,
 ):
     q = q_ref[0]          # [TQ, D] bf16/f32
     k = k_ref[0]          # [NK, D]
@@ -142,12 +142,24 @@ def _bwd_fused(
     q3, k3, v3, o3, do3 = map(r3, (q, k, v, o, do))
     lse2 = lse.reshape(bh, nq, 1)
 
-    # one-shot q tile when the f32 score tensor fits comfortably in VMEM
+    # one-shot q tile when the f32 score tensor fits comfortably in VMEM.
+    # nq is padded to a 128 multiple (flash_mha), so every rung divides it;
+    # the small rungs extend the envelope to nk = 64k keys
     tile_q = next(
-        t for t in (1024, 512, 256, 128) if nq % t == 0 and t * nk <= 512 * 1024
+        (
+            t for t in (1024, 512, 256, 128, 64, 32, 16, 8)
+            if nq % t == 0 and t * nk <= 512 * 1024
+        ),
+        None,
     )
+    if tile_q is None:
+        raise ValueError(
+            f"fused flash backward: no q tile fits a [tile_q, {nk}] f32 "
+            "score block in VMEM (nk > 64k keys); shard the key axis "
+            "(parallel/sp_flagship.py) or use the f32-exact attention path"
+        )
     kernel = functools.partial(
-        _bwd_kernel, sm_scale=sm_scale, nk_valid=nk_valid, tile_q=tile_q
+        _bwd_kernel, sm_scale=sm_scale, nk_valid=nk_valid
     )
     tile_spec = pl.BlockSpec(
         (1, tile_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM

@@ -40,9 +40,6 @@ def sharded_knn(
     Each device computes its query shard's scores against the all-gathered
     key set; the O(N^2/D) score block never leaves the device.
     """
-    n_dev = mesh.devices.size
-    n = x.shape[1]
-
     @partial(
         shard_map, mesh=mesh,
         in_specs=(_points_spec(batch_axis),),

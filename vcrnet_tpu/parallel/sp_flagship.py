@@ -281,12 +281,11 @@ def register_flagship_sp(
     )
 
     n_total = src.shape[1]
-    n_dev = mesh.devices.size
+    # shards of the POINT axis — on a 2-D dp x sp mesh this is the size of
+    # the 'data' axis, NOT the total device count (total/batch_shards)
+    n_dev = mesh.shape[AXIS]
     keep_k = int(n_total * overlap2)
     pp = params["pointer"]
-
-    k1 = int(n_total * 0.84 * overlap2)
-    k2 = int(k1 * 0.52 * overlap2)
 
     ps = _points_spec(batch_axis)
 
