@@ -100,35 +100,56 @@ def _packed_pop_max(packed, mask):
     return sel, col, packed
 
 
-def _quantize_channels(values):
-    """Per-channel symmetric int8 quantization of a [N, F] value table.
+def _quantize_channels_batched(values):
+    """Per-item per-channel symmetric int8 quantization of a [B, N, F]
+    value table -> (int8 table, [B, 1, F] f32 scale).
+
     The one-hot gather of an int8 table is EXACT in the quantized domain
     (each output row copies one table row), so the only error is the
     table's own rounding (<= scale/2 per entry, ~0.4% of channel max);
-    the int8 x int8 -> int32 matmul runs the MXU at twice bf16 rate."""
+    the int8 x int8 -> int32 matmul runs the MXU at twice bf16 rate.
+
+    Evaluated in XLA OUTSIDE the kernels, once per call: quantizing inside
+    the kernel both repeated the identical [N, F] absmax/round pass every
+    q-tile grid step AND is not bitwise-identical to the XLA computation
+    (compiled division rounds differently in the last ULP) — forward and
+    backward MUST consume this same table or the backward's value-match
+    claims silently misroute gradients."""
     v32 = values.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(v32), axis=0) / 127.0 + 1e-30  # [F]
+    scale = jnp.max(jnp.abs(v32), axis=1, keepdims=True) / 127.0 + 1e-30
     v8 = jnp.round(v32 / scale).astype(jnp.int8)
     return v8, scale
 
 
-def _gather_rows(sel, values, v8, scale, int8_gather: bool):
-    """One-hot gather of the max-selected rows: [TQ, N] sel x [N, F]."""
+def _table_and_scale(values, int8_gather: bool):
+    """Wrapper-side table prep: (int8 table, scale) when gathering int8,
+    else (the table as-is, a zero placeholder scale)."""
+    B, _, F = values.shape
     if int8_gather:
-        g8 = jnp.dot(sel.astype(jnp.int8), v8,
+        return _quantize_channels_batched(values)
+    return values, jnp.zeros((B, 1, F), jnp.float32)
+
+
+def _gather_rows(sel, table, scale, int8_gather: bool):
+    """One-hot gather of the max-selected rows: [TQ, N] sel x [N, F].
+    ``table`` is the pre-quantized int8 table when int8_gather (scale [F]
+    dequantizes), else the raw bf16/f32 values."""
+    if int8_gather:
+        g8 = jnp.dot(sel.astype(jnp.int8), table,
                      preferred_element_type=jnp.int32)
         return g8.astype(jnp.float32) * scale
-    return jnp.dot(sel.astype(values.dtype), values,
+    return jnp.dot(sel.astype(table.dtype), table,
                    preferred_element_type=jnp.float32)
 
 
 def _edge_conv_kernel(
-    x_q_ref, x_k_ref, norms_ref, a_ref, h_ref, w2_ref, b2_ref,
+    x_q_ref, x_k_ref, norms_ref, a_ref, scale_ref, h_ref, w2_ref, b2_ref,
     x1_ref, x2_ref, idx_ref, *, k: int, tile_q: int, slope: float,
     packed_select: bool, int8_gather: bool,
 ):
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
-    a_full = a_ref[0]  # [N, F]
+    a_full = a_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
+    a_scale = scale_ref[0][0]  # [F]
     h = h_ref[0]  # [TQ, F]
     w2 = w2_ref[:]  # [F, F]
     b2 = b2_ref[0]  # [F]
@@ -141,7 +162,6 @@ def _edge_conv_kernel(
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
     if packed_select:
         scores, mask = _pack_scores(scores, col_ids, n)
-    a8, a_scale = _quantize_channels(a_full) if int8_gather else (None, None)
 
     def leaky(v):
         return jnp.where(v >= 0, v, v * slope)
@@ -156,7 +176,7 @@ def _edge_conv_kernel(
             amax = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
             sel = col_ids == amax[:, None]
             scores = jnp.where(sel, neg_inf, scores)
-        g = _gather_rows(sel, a_full, a8, a_scale, int8_gather)
+        g = _gather_rows(sel, a_full, a_scale, int8_gather)
         z = leaky(g + h32)
         x1 = jnp.maximum(x1, z)
         y = leaky(
@@ -210,7 +230,7 @@ def _select_knn_idx(scores, col_ids, k: int, tile_q: int,
 
 
 def _edge_conv_deferred_kernel(
-    x_q_ref, x_k_ref, norms_ref, a_ref, h_ref, w2_ref, b2_ref,
+    x_q_ref, x_k_ref, norms_ref, a_ref, scale_ref, h_ref, w2_ref, b2_ref,
     x1_ref, x2_ref, idx_ref, *, k: int, tile_q: int, slope: float,
     packed_select: bool, int8_gather: bool,
 ):
@@ -223,7 +243,7 @@ def _edge_conv_deferred_kernel(
     full-matmul efficiency."""
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
     idx = _select_knn_idx(scores, col_ids, k, tile_q, packed_select)
-    a_full = a_ref[0]
+    a_full = a_ref[0]  # pre-quantized int8 when int8_gather
     h = h_ref[0]
     w2 = w2_ref[:]
     b2 = b2_ref[0]
@@ -235,10 +255,9 @@ def _edge_conv_deferred_kernel(
         return jnp.where(v >= 0, v, v * slope)
 
     if int8_gather:
-        a8, scale = _quantize_channels(a_full)
         onehot = _kmajor_onehot(idx, n, k, tile_q, jnp.int8)
-        g = jnp.dot(onehot, a8, preferred_element_type=jnp.int32)
-        g = g.astype(jnp.float32) * scale
+        g = jnp.dot(onehot, a_full, preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * scale_ref[0][0]
     else:
         onehot = _kmajor_onehot(idx, n, k, tile_q, a_full.dtype)
         g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
@@ -258,20 +277,19 @@ def _edge_conv_deferred_kernel(
 
 
 def _gather_max_deferred_kernel(
-    x_q_ref, x_k_ref, norms_ref, v_ref, out_ref, idx_ref,
+    x_q_ref, x_k_ref, norms_ref, v_ref, scale_ref, out_ref, idx_ref,
     *, k: int, tile_q: int, packed_select: bool, int8_gather: bool,
 ):
     """_gather_max_kernel with deferred gathers (see
     _edge_conv_deferred_kernel)."""
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
     idx = _select_knn_idx(scores, col_ids, k, tile_q, packed_select)
-    values = v_ref[0]
+    values = v_ref[0]  # pre-quantized int8 when int8_gather
     n = values.shape[0]
     if int8_gather:
-        v8, scale = _quantize_channels(values)
         onehot = _kmajor_onehot(idx, n, k, tile_q, jnp.int8)
-        g = jnp.dot(onehot, v8, preferred_element_type=jnp.int32)
-        g = g.astype(jnp.float32) * scale
+        g = jnp.dot(onehot, values, preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * scale_ref[0][0]
     else:
         onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
         g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
@@ -283,18 +301,18 @@ def _gather_max_deferred_kernel(
 
 
 def _gather_max_kernel(
-    x_q_ref, x_k_ref, norms_ref, v_ref, out_ref, idx_ref,
+    x_q_ref, x_k_ref, norms_ref, v_ref, scale_ref, out_ref, idx_ref,
     *, k: int, tile_q: int, packed_select: bool, int8_gather: bool,
 ):
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
-    values = v_ref[0]  # [N, F]
+    values = v_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
+    v_scale = scale_ref[0][0]  # [F]
     n = values.shape[0]
     f = values.shape[-1]
     neg_inf = jnp.float32(-jnp.inf)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
     if packed_select:
         scores, mask = _pack_scores(scores, col_ids, n)
-    v8, v_scale = _quantize_channels(values) if int8_gather else (None, None)
 
     def body(j, carry):
         scores, gmax, idx = carry
@@ -304,7 +322,7 @@ def _gather_max_kernel(
             amax = jnp.argmax(scores, axis=1).astype(jnp.int32)
             sel = col_ids == amax[:, None]
             scores = jnp.where(sel, neg_inf, scores)
-        g = _gather_rows(sel, values, v8, v_scale, int8_gather)
+        g = _gather_rows(sel, values, v_scale, int8_gather)
         gmax = jnp.maximum(gmax, g)
         idx = jnp.where(k_ids == j, amax[:, None], idx)
         return scores, gmax, idx
@@ -354,7 +372,7 @@ def _kmajor_onehot(idx, n: int, k: int, tile_q: int, dtype):
 
 
 def _edge_conv_bwd_kernel(
-    idx_ref, a_ref, h_ref, w2_ref, b2_ref,
+    idx_ref, a_ref, scale_ref, h_ref, w2_ref, b2_ref,
     x1_ref, x2_ref, ct1_ref, ct2_ref,
     da_ref, dh_ref, dw2_ref, db2_ref,
     *, k: int, tile_q: int, slope: float, n: int, int8_gather: bool,
@@ -370,12 +388,15 @@ def _edge_conv_bwd_kernel(
     identified by value-match against the saved outputs (first match
     claims, torch argmax semantics).
 
-    ``int8_gather`` must match the forward's setting: the recompute then
-    gathers from the SAME per-channel-quantized table (deterministic, so
-    the value-match claims are exact), and the resulting da is the
-    straight-through gradient of the quantized forward (d quant/da = 1)."""
+    Under ``int8_gather`` a_ref holds the SAME pre-quantized table the
+    forward consumed (quantized once in XLA — an in-kernel requantize is
+    NOT bitwise-identical to the XLA one: the compiled division rounds
+    differently in the last ULP, which silently breaks the value-match
+    claims). The resulting da is the straight-through gradient of the
+    quantized forward (d quant/da = 1)."""
     idx = idx_ref[0]  # [TQ, k] int32
-    a_full = a_ref[0]  # [N, F]
+    a_full = a_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
+    a_scale = scale_ref[0][0]  # [F]
     h = h_ref[0]  # [TQ, F]
     w2 = w2_ref[:]  # [F, F]
     b2 = b2_ref[0]  # [F]
@@ -389,6 +410,7 @@ def _edge_conv_bwd_kernel(
     h32 = h.astype(jnp.float32)
     b32 = b2.astype(jnp.float32)
     out_dt = x1_ref.dtype
+    act_dt = h.dtype  # the original activation dtype (a's, pre-quantize)
     one = jnp.float32(1.0)
 
     def leaky(v):
@@ -398,10 +420,9 @@ def _edge_conv_bwd_kernel(
         return jnp.where(post > 0, one, jnp.float32(slope))
 
     # one-hot of ALL k selections at once: [k*TQ, N]
-    onehot = _kmajor_onehot(idx, n, k, tile_q, a_full.dtype)
+    onehot = _kmajor_onehot(idx, n, k, tile_q, act_dt)
     if int8_gather:
-        a8, a_scale = _quantize_channels(a_full)
-        g = jnp.dot(onehot.astype(jnp.int8), a8,
+        g = jnp.dot(onehot.astype(jnp.int8), a_full,
                     preferred_element_type=jnp.int32)
         g = g.astype(jnp.float32) * a_scale
     else:
@@ -428,7 +449,7 @@ def _edge_conv_bwd_kernel(
     )
     dq = dz * dleaky(z)  # [k*TQ, F] pre-activation grad of z
     da = jax.lax.dot_general(
-        onehot, dq.astype(a_full.dtype),
+        onehot, dq.astype(act_dt),
         (((0,), (0,)), ((), ())),  # onehot^T @ dq: the scatter, one matmul
         preferred_element_type=jnp.float32,
     )
@@ -461,7 +482,8 @@ def _edge_conv_bwd_kernel(
 
 
 def _gather_max_from_idx_kernel(
-    idx_ref, v_ref, out_ref, *, k: int, tile_q: int, int8_gather: bool,
+    idx_ref, v_ref, scale_ref, out_ref,
+    *, k: int, tile_q: int, int8_gather: bool,
 ):
     """Forward gather-max given PRECOMPUTED neighbor indices: no score
     matmul, no k-step argmax — the k gathers run as ONE [k*TQ, N] one-hot
@@ -470,13 +492,12 @@ def _gather_max_from_idx_kernel(
     refinement iterations: rigid transforms preserve distances, so the
     neighbor sets of the transformed source equal the original's)."""
     idx = idx_ref[0]  # [TQ, k]
-    values = v_ref[0]  # [N, F]
+    values = v_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
     n = values.shape[0]
     if int8_gather:
-        v8, scale = _quantize_channels(values)
         onehot = _kmajor_onehot(idx, n, k, tile_q, jnp.int8)
-        g = jnp.dot(onehot, v8, preferred_element_type=jnp.int32)
-        g = g.astype(jnp.float32) * scale
+        g = jnp.dot(onehot, values, preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * scale_ref[0][0]
     else:
         onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
         g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
@@ -487,7 +508,7 @@ def _gather_max_from_idx_kernel(
 
 
 def _edge_conv_from_idx_kernel(
-    idx_ref, a_ref, h_ref, w2_ref, b2_ref, x1_ref, x2_ref,
+    idx_ref, a_ref, scale_ref, h_ref, w2_ref, b2_ref, x1_ref, x2_ref,
     *, k: int, tile_q: int, slope: float, int8_gather: bool,
 ):
     """Edge-conv forward given PRECOMPUTED neighbor indices: no distance
@@ -498,7 +519,7 @@ def _edge_conv_from_idx_kernel(
     used when the feature-graph selection is reused across eval refinement
     iterations (Config.reuse_feature_knn)."""
     idx = idx_ref[0]  # [TQ, k]
-    a_full = a_ref[0]  # [N, F]
+    a_full = a_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
     h = h_ref[0]  # [TQ, F]
     w2 = w2_ref[:]  # [F, F]
     b2 = b2_ref[0]  # [F]
@@ -510,10 +531,9 @@ def _edge_conv_from_idx_kernel(
         return jnp.where(v >= 0, v, v * slope)
 
     if int8_gather:
-        a8, scale = _quantize_channels(a_full)
         onehot = _kmajor_onehot(idx, n, k, tile_q, jnp.int8)
-        g = jnp.dot(onehot, a8, preferred_element_type=jnp.int32)
-        g = g.astype(jnp.float32) * scale
+        g = jnp.dot(onehot, a_full, preferred_element_type=jnp.int32)
+        g = g.astype(jnp.float32) * scale_ref[0][0]
     else:
         onehot = _kmajor_onehot(idx, n, k, tile_q, a_full.dtype)
         g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
@@ -551,6 +571,7 @@ def edge_conv_from_idx(
         slope=negative_slope, int8_gather=int8_gather,
     )
     out_sds = jax.ShapeDtypeStruct((B, N, F), a.dtype)
+    table, scale = _table_and_scale(a, int8_gather)
     return pl.pallas_call(
         kernel,
         grid=(B, N // tile_q),
@@ -558,6 +579,8 @@ def edge_conv_from_idx(
             pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -574,34 +597,36 @@ def edge_conv_from_idx(
         ],
         out_shape=[out_sds, out_sds],
         interpret=interpret,
-    )(idx, a, h, w2, b2.reshape(1, F))
+    )(idx, table, scale, h, w2, b2.reshape(1, F))
 
 
 def _gather_max_bwd_kernel(
-    idx_ref, v_ref, out_ref, ct_ref, dv_ref,
+    idx_ref, v_ref, scale_ref, out_ref, ct_ref, dv_ref,
     *, k: int, tile_q: int, n: int, int8_gather: bool,
 ):
     """Backward of _gather_max_kernel, batched over k (see
     _edge_conv_bwd_kernel): dvalues[n] += ct[i] where n won query i's
-    channel-wise max (first value-match claims). ``int8_gather`` must
-    match the forward (straight-through quantized recompute)."""
+    channel-wise max (first value-match claims). Under ``int8_gather``
+    v_ref holds the SAME pre-quantized table the forward consumed (see
+    _edge_conv_bwd_kernel on why an in-kernel requantize breaks the
+    claims)."""
     idx = idx_ref[0]  # [TQ, k]
-    values = v_ref[0]  # [N, F]
+    values = v_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
+    v_scale = scale_ref[0][0]  # [F]
     out32 = out_ref[0].astype(jnp.float32)  # [TQ, F]
     ct = ct_ref[0].astype(jnp.float32)
-    out_dt = out_ref.dtype
+    out_dt = out_ref.dtype  # the original values dtype
 
-    onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
+    onehot = _kmajor_onehot(idx, n, k, tile_q, out_dt)
     if int8_gather:
-        v8, v_scale = _quantize_channels(values)
-        g = jnp.dot(onehot.astype(jnp.int8), v8,
+        g = jnp.dot(onehot.astype(jnp.int8), values,
                     preferred_element_type=jnp.int32)
         g = g.astype(jnp.float32) * v_scale
     else:
         g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
     take = _claim_first(g, out32, out_dt, tile_q, k)
     dv = jax.lax.dot_general(
-        onehot, (take * _kmajor_broadcast(ct, k)).astype(values.dtype),
+        onehot, (take * _kmajor_broadcast(ct, k)).astype(out_dt),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -724,13 +749,17 @@ def _fused_edge_conv_bwd(
     full_spec = lambda f: pl.BlockSpec(
         (1, N, f), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
+    # the SAME quantized table the forward consumed (see kernel docstring)
+    table, scale = _table_and_scale(a, int8_gather)
     da, dh, dw2, db2 = pl.pallas_call(
         kernel,
         grid=(B, N // tile_q),
         in_specs=[
             pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),  # saved indices
-            full_spec(F),                      # a (full table)
+            full_spec(F),                      # a table (int8 when int8)
+            pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),  # dequant scale
             tile_spec(F),                      # h
             pl.BlockSpec((F, F), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -756,7 +785,7 @@ def _fused_edge_conv_bwd(
             jax.ShapeDtypeStruct((1, F), jnp.float32),
         ],
         interpret=interpret,
-    )(idx, a, h, w2, b2.reshape(1, F), x1, x2, ct1, ct2)
+    )(idx, table, scale, h, w2, b2.reshape(1, F), x1, x2, ct1, ct2)
     return (
         zero_x,
         da.astype(a.dtype),
@@ -795,6 +824,8 @@ def _fused_edge_conv_fwd_impl(
     # selection indices [B, N, k] (consumed by the backward)
     idx_sds = jax.ShapeDtypeStruct((B, N, k), jnp.int32)
     b2_2d = b2.reshape(1, F)
+    # int8 tables are quantized ONCE here (not per grid step in-kernel)
+    table, scale = _table_and_scale(a, int8_gather)
     return pl.pallas_call(
         kernel,
         grid=(B, N // tile_q),
@@ -806,6 +837,8 @@ def _fused_edge_conv_fwd_impl(
             pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -824,7 +857,7 @@ def _fused_edge_conv_fwd_impl(
         ],
         out_shape=[out_sds, out_sds, idx_sds],
         interpret=interpret,
-    )(x, x, _norms(x), a, h, w2, b2_2d)
+    )(x, x, _norms(x), table, scale, h, w2, b2_2d)
 
 
 def fused_knn_gather_max(
@@ -882,6 +915,8 @@ def _fused_gather_max_bwd(
         _gather_max_bwd_kernel, k=k, tile_q=tile_q, n=N,
         int8_gather=int8_gather,
     )
+    # the SAME quantized table the forward consumed (see kernel docstring)
+    table, scale = _table_and_scale(values, int8_gather)
     dv = pl.pallas_call(
         kernel,
         grid=(B, N // tile_q),
@@ -890,6 +925,8 @@ def _fused_gather_max_bwd(
                          memory_space=pltpu.VMEM),  # saved indices
             pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),  # dequant scale
             pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
@@ -900,7 +937,7 @@ def _fused_gather_max_bwd(
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
         interpret=interpret,
-    )(idx, values, out, ct)
+    )(idx, table, scale, out, ct)
     return zero_x, dv.astype(values.dtype)
 
 
@@ -971,6 +1008,7 @@ def _gather_max_from_idx_impl(
         _gather_max_from_idx_kernel, k=k, tile_q=tile_q,
         int8_gather=int8_gather,
     )
+    table, scale = _table_and_scale(values, int8_gather)
     return pl.pallas_call(
         kernel,
         grid=(B, N // tile_q),
@@ -979,13 +1017,15 @@ def _gather_max_from_idx_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, tile_q, F), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, F), values.dtype),
         interpret=interpret,
-    )(idx, values)
+    )(idx, table, scale)
 
 
 def _fused_gather_max_impl(
@@ -1010,6 +1050,7 @@ def _fused_gather_max_impl(
         packed_select=packed_select, int8_gather=int8_gather,
     )
     idx_sds = jax.ShapeDtypeStruct((B, N, k), jnp.int32)
+    table, scale = _table_and_scale(values, int8_gather)
     return pl.pallas_call(
         kernel,
         grid=(B, N // tile_q),
@@ -1021,6 +1062,8 @@ def _fused_gather_max_impl(
             pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1034,4 +1077,4 @@ def _fused_gather_max_impl(
             idx_sds,
         ],
         interpret=interpret,
-    )(x, x, _norms(x), values)
+    )(x, x, _norms(x), table, scale)
