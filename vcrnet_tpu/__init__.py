@@ -19,3 +19,5 @@ from vcrnet_tpu import geometry
 from vcrnet_tpu.config import Config
 
 __all__ = ["geometry", "Config", "__version__"]
+# vcrnet_tpu.serve.Registrar is the deployment-facing inference surface
+# (imported lazily by users — it pulls in the model stack)

@@ -1,0 +1,164 @@
+"""Production inference surface: serve registration requests of varying
+batch size (and point count) from one process without recompiling.
+
+The reference has no serving story (its eval loop is tied to a DataLoader,
+reference model/vcrnet_model.py:521-649); this is the deployment-facing
+upgrade: a `Registrar` that
+
+  * pads ragged request batches up to a small ladder of STATIC bucket
+    sizes — one XLA compile per bucket, cached for the process lifetime
+    (under jit every distinct shape is a fresh compile; unbucketed
+    serving would compile per request);
+  * subsamples oversized clouds to the model's static ``num_points``
+    (deterministically, matching the pipeline's permute+take semantics,
+    reference util/data.py:289);
+  * runs the full eval path — iterative refinement with the cached
+    iteration-invariants (vcrnet_iter) or net+ICP when ``cfg.iter == 0``;
+  * takes and returns plain numpy, so callers need no JAX knowledge.
+
+Padding rows are real compute but never contaminate results: each
+request's outputs are sliced back to its true batch size (registration
+is per-pair; there is no cross-pair coupling in eval).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vcrnet_tpu.config import Config
+from vcrnet_tpu.models import VCRNet
+from vcrnet_tpu.models.vcrnet import vcrnet_icp, vcrnet_iter
+
+
+class Registrar:
+    """Batch-bucketed registration server around a trained VCRNet.
+
+    >>> reg = Registrar(cfg, variables)
+    >>> out = reg.register(src, tgt)     # numpy [b, n, 3] x2
+    >>> out["R"], out["t"]               # numpy [b, 3, 3], [b, 3]
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        variables,
+        buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+    ):
+        if not buckets or list(buckets) != sorted(set(buckets)):
+            raise ValueError("buckets must be sorted, unique, non-empty")
+        self.cfg = cfg
+        self.model = VCRNet(cfg=cfg)
+        self._variables = variables
+        self._buckets = tuple(int(b) for b in buckets)
+        self._fns = {}  # bucket -> jitted forward
+        self.n_points = cfg.n_cropped
+
+    # -- shape management ---------------------------------------------
+
+    def _bucket_for(self, b: int) -> int:
+        for cap in self._buckets:
+            if b <= cap:
+                return cap
+        # larger than the top bucket: pad to a multiple of it and let the
+        # caller's batch split below handle it
+        return self._buckets[-1]
+
+    def _fit_points(self, cloud: np.ndarray, seed: int) -> np.ndarray:
+        """[b, n, 3] -> [b, n_points, 3] by deterministic subsample
+        (permute+take, like the data pipeline). Rejects undersized clouds
+        (the model's neighborhood sizes are static functions of config)."""
+        n = cloud.shape[1]
+        if n < self.n_points:
+            raise ValueError(
+                f"got {n} points; the model needs >= {self.n_points} "
+                "(re-create the Registrar with a smaller cfg.num_points)"
+            )
+        if n == self.n_points:
+            return cloud
+        perm = np.random.RandomState(seed).permutation(n)[: self.n_points]
+        return cloud[:, perm]
+
+    # -- compiled forward ---------------------------------------------
+
+    def _forward(self, bucket: int):
+        if bucket in self._fns:
+            return self._fns[bucket]
+        cfg = self.cfg
+        model = self.model
+
+        def fn(variables, src, tgt):
+            apply_fn = lambda v, s, t: model.apply(v, s, t)
+            if cfg.iter > 0:
+                out = vcrnet_iter(
+                    apply_fn, variables, src, tgt, cfg.iter, model=model
+                )
+            else:
+                out = vcrnet_icp(
+                    apply_fn, variables, src, tgt, cfg.max_iterations
+                )
+            _, _, R_ab, t_ab, R_ba, t_ba = out
+            return R_ab, t_ab, R_ba, t_ba
+
+        self._fns[bucket] = jax.jit(fn)
+        return self._fns[bucket]
+
+    @property
+    def compiled_buckets(self):
+        return sorted(self._fns)
+
+    # -- public API -----------------------------------------------------
+
+    def register(
+        self, src: np.ndarray, tgt: np.ndarray, seed: int = 0
+    ) -> dict:
+        """Register src onto tgt: returns {"R", "t", "R_inv", "t_inv"}
+        as numpy, where tgt ~= R @ src + t per pair.
+
+        src/tgt: [b, n, 3] (or a single [n, 3] pair) float32, n >= the
+        model's num_points. Batches above the top bucket are split.
+        """
+        src = np.asarray(src, np.float32)
+        tgt = np.asarray(tgt, np.float32)
+        single = src.ndim == 2
+        if single:
+            src, tgt = src[None], tgt[None]
+        if src.shape != tgt.shape or src.ndim != 3 or src.shape[-1] != 3:
+            raise ValueError(f"bad shapes {src.shape} vs {tgt.shape}")
+
+        src = self._fit_points(src, seed)
+        tgt = self._fit_points(tgt, seed + 1)
+
+        b = src.shape[0]
+        top = self._buckets[-1]
+        outs = []
+        for lo in range(0, b, top):
+            outs.append(self._run_chunk(src[lo:lo + top], tgt[lo:lo + top]))
+        result = {
+            key: np.concatenate([o[key] for o in outs], axis=0)
+            for key in outs[0]
+        }
+        if single:
+            result = {key: val[0] for key, val in result.items()}
+        return result
+
+    def _run_chunk(self, src: np.ndarray, tgt: np.ndarray) -> dict:
+        b = src.shape[0]
+        bucket = self._bucket_for(b)
+        if b < bucket:  # pad by repeating the first pair (never NaNs)
+            pad = np.repeat(src[:1], bucket - b, axis=0)
+            src = np.concatenate([src, pad], axis=0)
+            tgt = np.concatenate([tgt, np.repeat(tgt[:1], bucket - b, 0)], 0)
+        R_ab, t_ab, R_ba, t_ba = self._forward(bucket)(
+            self._variables, jnp.asarray(src), jnp.asarray(tgt)
+        )
+        return {
+            "R": np.asarray(R_ab)[:b],
+            "t": np.asarray(t_ab)[:b],
+            "R_inv": np.asarray(R_ba)[:b],
+            "t_inv": np.asarray(t_ba)[:b],
+        }
