@@ -83,6 +83,25 @@ def test_point_subsample_and_undersize_rejection(served):
         reg.register(src[:, : N - 8], tgt[:, : N - 8])
 
 
+def test_mesh_serving_matches_single_device(served):
+    # 8-device data mesh (conftest forces 8 virtual CPU devices): buckets
+    # round up to mesh multiples, the batch shards over 'data', results
+    # match the unsharded Registrar (per-pair math is unchanged).
+    from vcrnet_tpu.parallel.mesh import make_mesh
+
+    cfg, variables, reg = served
+    mesh = make_mesh()
+    mreg = Registrar(cfg, variables, buckets=(2, 4), mesh=mesh)
+    assert mreg._buckets == (8,)  # 2, 4 -> 8 on an 8-device mesh
+    src, tgt = _pair(np.random.RandomState(6), 5, N)  # ragged: pads to 8
+    out = mreg.register(src, tgt)
+    ref = reg.register(src, tgt)
+    assert out["R"].shape == (5, 3, 3)
+    np.testing.assert_allclose(out["R"], ref["R"], atol=1e-5)
+    np.testing.assert_allclose(out["t"], ref["t"], atol=1e-5)
+    np.testing.assert_allclose(out["R_inv"], ref["R_inv"], atol=1e-5)
+
+
 def test_single_pair_shapes(served):
     cfg, variables, reg = served
     src, tgt = _pair(np.random.RandomState(5), 1, N)

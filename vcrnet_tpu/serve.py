@@ -14,7 +14,14 @@ upgrade: a `Registrar` that
     reference util/data.py:289);
   * runs the full eval path — iterative refinement with the cached
     iteration-invariants (vcrnet_iter) or net+ICP when ``cfg.iter == 0``;
-  * takes and returns plain numpy, so callers need no JAX knowledge.
+  * takes and returns plain numpy, so callers need no JAX knowledge;
+  * optionally serves over a device ``Mesh`` (``mesh=``): parameters are
+    replicated once at construction, each request batch is sharded over
+    the mesh's 'data' axis, and jit's partitioner runs the pairs in
+    parallel across chips — the serving-side analogue of the train
+    engine's data parallelism (buckets round up to mesh multiples so the
+    sharded batch axis always divides evenly).
+
 
 Padding rows are real compute but never contaminate results: each
 request's outputs are sliced back to its true batch size (registration
@@ -48,11 +55,27 @@ class Registrar:
         cfg: Config,
         variables,
         buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+        mesh=None,
     ):
         if not buckets or list(buckets) != sorted(set(buckets)):
             raise ValueError("buckets must be sorted, unique, non-empty")
         self.cfg = cfg
         self.model = VCRNet(cfg=cfg)
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from vcrnet_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated_sharding,
+            )
+
+            if "data" not in mesh.shape:
+                raise ValueError("mesh must have a 'data' axis")
+            n = mesh.shape["data"]
+            # every compiled bucket's batch axis must divide the mesh
+            buckets = sorted({-(-int(b) // n) * n for b in buckets})
+            self._batch_sharding = batch_sharding(mesh)
+            variables = jax.device_put(variables, replicated_sharding(mesh))
         self._variables = variables
         self._buckets = tuple(int(b) for b in buckets)
         self._fns = {}  # bucket -> jitted forward
@@ -153,6 +176,9 @@ class Registrar:
             pad = np.repeat(src[:1], bucket - b, axis=0)
             src = np.concatenate([src, pad], axis=0)
             tgt = np.concatenate([tgt, np.repeat(tgt[:1], bucket - b, 0)], 0)
+        if self._batch_sharding is not None:
+            src = jax.device_put(src, self._batch_sharding)
+            tgt = jax.device_put(tgt, self._batch_sharding)
         R_ab, t_ab, R_ba, t_ba = self._forward(bucket)(
             self._variables, jnp.asarray(src), jnp.asarray(tgt)
         )
