@@ -1,0 +1,95 @@
+"""Multi-host feed path (parallel/multihost.py): the per-process slice +
+make_array_from_process_local_data assembly must reproduce device_put of
+the full batch, and the slicing arithmetic must partition exactly.
+
+True multi-process runs need a pod; what IS testable here (and is the
+part jit can't check for us) is the data plumbing: at process_count=1
+the assembled global arrays must be bitwise what device_put produces,
+and the slice helper must partition a batch exactly for any simulated
+process grid.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vcrnet_tpu.parallel.mesh import batch_sharding, make_mesh
+from vcrnet_tpu.parallel.multihost import (
+    global_batch_from_local,
+    initialize,
+    local_batch_slice,
+)
+
+
+def _batch(b, n=16):
+    rng = np.random.RandomState(0)
+    return {
+        "src": rng.rand(b, n, 3).astype(np.float32),
+        "valid": np.ones(b, np.float32),
+    }
+
+
+def test_assembly_matches_device_put():
+    mesh = make_mesh()
+    batch = _batch(8)
+    local = local_batch_slice(batch)  # process_count()==1: identity
+    global_arrs = global_batch_from_local(local, mesh, 8)
+    sharding = batch_sharding(mesh)
+    for key, val in batch.items():
+        direct = jax.device_put(val, sharding)
+        assert global_arrs[key].sharding.is_equivalent_to(
+            direct.sharding, val.ndim
+        )
+        np.testing.assert_array_equal(
+            np.asarray(global_arrs[key]), np.asarray(direct)
+        )
+
+
+def test_slice_partitions_exactly():
+    batch = _batch(8)
+    pieces = [
+        local_batch_slice(batch, process_index=i, process_count=4)
+        for i in range(4)
+    ]
+    for key in batch:
+        rebuilt = np.concatenate([p[key] for p in pieces], axis=0)
+        np.testing.assert_array_equal(rebuilt, batch[key])
+    assert pieces[0]["src"].shape[0] == 2
+
+
+def test_slice_rejects_indivisible():
+    with pytest.raises(ValueError, match="does not divide"):
+        local_batch_slice(_batch(6), process_index=0, process_count=4)
+
+
+def test_initialize_single_process_noop():
+    assert initialize() is False  # no multi-process env announced
+    assert jax.process_count() == 1  # and nothing was brought up
+
+
+def test_trainer_to_device_multihost_path(monkeypatch):
+    # force the Trainer down the multi-host branch: patch the public
+    # process_count gate to 2 and neutralize the slice (this process
+    # still owns all rows); the assembled arrays must equal the default
+    # device_put path. make_array_from_process_local_data itself reads
+    # jax internals, not the patched public alias, so it runs for real.
+    from vcrnet_tpu.config import Config
+    from vcrnet_tpu.train.engine import Trainer
+    import vcrnet_tpu.parallel.multihost as mh
+
+    cfg = Config(num_points=16, emb_dims=32, ff_dims=64, batch_size=8)
+    trainer = Trainer(cfg)
+    batch = _batch(8)
+    direct = trainer._to_device(batch)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(mh, "local_batch_slice", lambda b, **kw: b)
+    routed = trainer._to_device(batch)
+    for key in direct:
+        np.testing.assert_array_equal(
+            np.asarray(routed[key]), np.asarray(direct[key])
+        )
+        assert routed[key].sharding.is_equivalent_to(
+            direct[key].sharding, np.asarray(direct[key]).ndim
+        )

@@ -480,6 +480,18 @@ class Trainer:
         if "valid" not in batch:
             batch["valid"] = np.ones(batch["src"].shape[0], np.float32)
         batch = pad_to_multiple(batch, self.mesh.devices.size)
+        if jax.process_count() > 1:
+            # multi-host: every process iterates the same batches; keep
+            # only our rows and assemble the global sharded arrays
+            from vcrnet_tpu.parallel.multihost import (
+                global_batch_from_local,
+                local_batch_slice,
+            )
+
+            global_b = batch["src"].shape[0]
+            return global_batch_from_local(
+                local_batch_slice(batch), self.mesh, global_b
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self._shd), batch
         )
