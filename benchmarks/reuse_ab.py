@@ -179,6 +179,12 @@ def main():
     if only in ("all", "train"):
         train_variant("train int8_gathers=off", B, False)
         train_variant("train int8_gathers=on", B, True)
+    if only == "trainb":
+        # batch-size sweep: pairs/s/chip may keep rising past B=64 if the
+        # step has fixed-cost components (eval B=96/128 was neutral, but
+        # training has a different fixed/variable split)
+        for b in (64, 96, 128):
+            train_variant(f"train B-sweep", b, False)
 
 
 if __name__ == "__main__":

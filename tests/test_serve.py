@@ -83,6 +83,15 @@ def test_point_subsample_and_undersize_rejection(served):
         reg.register(src[:, : N - 8], tgt[:, : N - 8])
 
 
+def test_warmup_compiles_all_buckets(served):
+    cfg, variables, reg = served
+    reg2 = Registrar(cfg, variables, buckets=(2, 4))
+    reg2.warmup()
+    assert reg2.compiled_buckets == [2, 4]
+    with pytest.raises(ValueError, match="not one of"):
+        reg2.warmup([3])
+
+
 def test_mesh_serving_matches_single_device(served):
     # 8-device data mesh (conftest forces 8 virtual CPU devices): buckets
     # round up to mesh multiples, the batch shards over 'data', results

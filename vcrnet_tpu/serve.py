@@ -134,6 +134,17 @@ class Registrar:
     def compiled_buckets(self):
         return sorted(self._fns)
 
+    def warmup(self, buckets: Sequence[int] | None = None) -> None:
+        """Eagerly compile (and run once) the given buckets — default all —
+        so the first real request pays no compile latency."""
+        for bucket in buckets if buckets is not None else self._buckets:
+            if bucket not in self._buckets:
+                raise ValueError(f"{bucket} is not one of {self._buckets}")
+            cloud = np.random.RandomState(0).rand(
+                bucket, self.n_points, 3
+            ).astype(np.float32) - 0.5
+            self._run_chunk(cloud, cloud)
+
     # -- public API -----------------------------------------------------
 
     def register(
