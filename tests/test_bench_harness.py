@@ -10,12 +10,48 @@ import pytest
 
 import bench
 
+# grab the real probe before the autouse fixture stubs the attribute out
+_REAL_PROBE = bench._probe_tpu_responsive
+
 
 @pytest.fixture(autouse=True)
 def _skip_tpu_probe(monkeypatch):
     # These tests mock bench_protocol and never touch hardware; the real
     # probe would spend 2x240s trying to reach the tunnel TPU.
     monkeypatch.setattr(bench, "_probe_tpu_responsive", lambda **kw: None)
+
+
+def test_probe_retries_inside_window_then_raises(monkeypatch):
+    # real probe logic, mocked subprocess: fails until the 4th attempt.
+    # With a ~2-minute window the retry loop must keep going (sleeps are
+    # captured, not taken) and return on success; with window=0 it must
+    # raise after the two fast attempts.
+    import subprocess
+    import time
+
+    attempts = {"n": 0}
+    sleeps = []
+
+    class R:
+        def __init__(self, ok):
+            self.stdout = "tpu-probe-ok" if ok else ""
+            self.stderr = "dead tunnel"
+            self.returncode = 0 if ok else 1
+
+    def fake_run(*a, **kw):
+        attempts["n"] += 1
+        return R(attempts["n"] >= 4)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(time, "sleep", sleeps.append)
+    monkeypatch.setenv("VCRNET_TPU_PROBE_WINDOW_S", "120")
+    _REAL_PROBE()
+    assert attempts["n"] == 4 and len(sleeps) == 2
+
+    attempts["n"] = -100  # never reaches success within 2 attempts
+    monkeypatch.setenv("VCRNET_TPU_PROBE_WINDOW_S", "0")
+    with pytest.raises(RuntimeError, match="TPU unresponsive"):
+        _REAL_PROBE()
 
 
 def test_reuse_knob_parsing(monkeypatch):
