@@ -62,6 +62,16 @@ def _reuse_knob() -> dict:
     }
 
 
+def _subsample_knob() -> dict:
+    """Parse VCRNET_REFINE_SUBSAMPLE into Config kwargs: M = run
+    refinement iterations 2+ on the first M points (whole mode only,
+    models/vcrnet.py). '' / '0' / non-numeric = off."""
+    import os
+
+    v = os.environ.get("VCRNET_REFINE_SUBSAMPLE", "").strip()
+    return {"refine_subsample": int(v) if v.isdigit() else 0}
+
+
 def _model_and_inputs(batch: int, partial: bool, n_iter: int):
     import os
 
@@ -76,7 +86,7 @@ def _model_and_inputs(batch: int, partial: bool, n_iter: int):
     cfg = Config(
         num_points=1024, emb_dims=512, compute_dtype="bfloat16",
         partial=partial, overlap=0.575 if partial else 0.75, iter=n_iter,
-        **_reuse_knob(),
+        **_reuse_knob(), **_subsample_knob(),
     )
     model = VCRNet(cfg=cfg)
     rng = np.random.RandomState(0)
@@ -191,7 +201,10 @@ def accuracy_report(n_items: int = 96) -> dict:
                 num_points=1024, emb_dims=512, test_batch_size=24, **pkw
             )
             if profile == "fast":
-                kw.update(compute_dtype="bfloat16", **_reuse_knob())
+                kw.update(
+                    compute_dtype="bfloat16",
+                    **_reuse_knob(), **_subsample_knob(),
+                )
             cfg = Config(**kw)
             trainer = Trainer(cfg)
             ds = SyntheticDataset(

@@ -22,13 +22,17 @@ sys.path.insert(0, "/root/repo")
 import bench  # noqa: E402  (reuses bench_protocol's timing discipline)
 
 
-def eval_variant(name, batch, partial, reuse_env):
+def eval_variant(name, batch, partial, reuse_env, sub_env=""):
     import os
 
     if reuse_env:
         os.environ["VCRNET_REUSE_FEATURE_KNN"] = reuse_env
     else:
         os.environ.pop("VCRNET_REUSE_FEATURE_KNN", None)
+    if sub_env:
+        os.environ["VCRNET_REFINE_SUBSAMPLE"] = sub_env
+    else:
+        os.environ.pop("VCRNET_REFINE_SUBSAMPLE", None)
     pps = bench.bench_protocol(batch, partial, 3)
     print(
         f"{name:28s} B={batch:<4d} {batch / pps * 1000:7.1f} ms/step  "
@@ -179,6 +183,15 @@ def main():
     if only in ("all", "train"):
         train_variant("train int8_gathers=off", B, False)
         train_variant("train int8_gathers=on", B, True)
+    if only in ("all", "sub"):
+        # refine_subsample ladder on the paper's whole_iter3 protocol
+        # (whole mode only; accuracy side: refine_subsample_probe.py)
+        for sub in ("", "256", "384", "512"):
+            eval_variant(
+                f"whole_iter3 sub={sub or 'off'}", B, False, "", sub
+            )
+        # best-guess compose: subsample + feature-graph reuse at refresh 2
+        eval_variant("whole_iter3 sub=384+reuse2", B, False, "2", "384")
     if only == "trainb":
         # batch-size sweep: pairs/s/chip may keep rising past B=64 if the
         # step has fixed-cost components (eval B=96/128 was neutral, but

@@ -77,6 +77,16 @@ def test_reuse_knob_parsing(monkeypatch):
     assert bench._reuse_knob()["reuse_feature_knn"] is False
 
 
+def test_subsample_knob_parsing(monkeypatch):
+    monkeypatch.delenv("VCRNET_REFINE_SUBSAMPLE", raising=False)
+    assert bench._subsample_knob() == {"refine_subsample": 0}
+    monkeypatch.setenv("VCRNET_REFINE_SUBSAMPLE", "384")
+    assert bench._subsample_knob() == {"refine_subsample": 384}
+    for off in ("", "0", "off"):
+        monkeypatch.setenv("VCRNET_REFINE_SUBSAMPLE", off)
+        assert bench._subsample_knob()["refine_subsample"] == 0
+
+
 def test_best_over_batches_stops_after_failed_batch(monkeypatch):
     calls = []
 

@@ -407,3 +407,84 @@ class TestIterCachedEmbedding:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6
             )
+
+    def test_refine_subsample_matches_naive_mirror(self):
+        """Config.refine_subsample=M runs iterations 2+ on the first M
+        points. The cached implementation must equal a hand-rolled mirror
+        built from naive full forwards on the (sub)clouds."""
+        from vcrnet_tpu import geometry
+
+        M = 32
+        cfg = Config(
+            num_points=64, emb_dims=64, ff_dims=128, refine_subsample=M
+        )
+        rng = np.random.RandomState(11)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        out = vcrnet_iter(
+            model.apply, variables, src, tgt, n_iter=3, model=model
+        )
+
+        transformed = jnp.asarray(src)
+        R_f = t_f = None
+        mirror = None
+        for i in range(3):
+            s = transformed[:, :M] if i >= 1 else transformed
+            tt = jnp.asarray(tgt[:, :M] if i >= 1 else tgt)
+            mirror = model.apply(variables, s, tt)
+            _, _, R_i, t_i, _, _ = mirror
+            transformed = geometry.transform_points(transformed, R_i, t_i)
+            if R_f is None:
+                R_f, t_f = R_i, t_i
+            else:
+                R_f, t_f = geometry.compose_transforms(R_i, t_i, R_f, t_f)
+        np.testing.assert_allclose(
+            np.asarray(out[2]), np.asarray(R_f), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[3]), np.asarray(t_f), atol=1e-5
+        )
+        assert out[0].shape == (2, M, 3)  # last iteration's (sub)points
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(mirror[0]), atol=1e-5
+        )
+
+    def test_refine_subsample_gates(self):
+        """The knob is a no-op at n_iter=1, in partial mode, and at
+        M >= num_points (clamped to the exact path)."""
+        rng = np.random.RandomState(12)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+
+        base = Config(num_points=64, emb_dims=64, ff_dims=128)
+        m_off = VCRNet(cfg=base)
+        variables = m_off.init(jax.random.PRNGKey(0), src, tgt)
+        for sub_cfg, n_iter in (
+            (base.replace(refine_subsample=32), 1),   # single iteration
+            (base.replace(refine_subsample=64), 3),   # M == N: exact
+            (base.replace(refine_subsample=999), 3),  # M > N: clamped
+        ):
+            m_sub = VCRNet(cfg=sub_cfg)
+            a = vcrnet_iter(
+                m_sub.apply, variables, src, tgt, n_iter=n_iter, model=m_sub
+            )
+            b = vcrnet_iter(
+                m_off.apply, variables, src, tgt, n_iter=n_iter, model=m_off
+            )
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=1e-6
+                )
+
+        part = Config(
+            num_points=64, emb_dims=64, ff_dims=128,
+            partial=True, overlap=0.575,
+        )
+        srcp, tgtp = src[:, : part.n_cropped], tgt[:, : part.n_cropped]
+        m_p_off = VCRNet(cfg=part)
+        vp = m_p_off.init(jax.random.PRNGKey(0), srcp, tgtp)
+        m_p_sub = VCRNet(cfg=part.replace(refine_subsample=24))
+        a = vcrnet_iter(m_p_sub.apply, vp, srcp, tgtp, n_iter=3, model=m_p_sub)
+        b = vcrnet_iter(m_p_off.apply, vp, srcp, tgtp, n_iter=3, model=m_p_off)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)

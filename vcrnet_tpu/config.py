@@ -128,6 +128,15 @@ class Config:
     # speed); 2 = recompute once more on the near-aligned iteration-2 cloud
     # (measurably closer to exact — the iteration-1 cloud is still far from
     # the target pose) and reuse only for iterations 3+.
+    refine_subsample: int = 0  # eval refinement (whole mode only): run
+    # iterations 2+ on the first `refine_subsample` points of each cloud
+    # (the pipeline pre-permutes points, so a prefix is a uniform random
+    # subset). Iteration 1 stays full-size — it does the heavy lifting;
+    # later iterations estimate a SMALL delta transform, which needs far
+    # fewer correspondences. APPROXIMATION, opt-in pending the
+    # accuracy/throughput A/B (benchmarks/refine_subsample_probe.py,
+    # bench.py --accuracy). 0 = off; values >= num_points are clamped to
+    # exact (the subsample is then the identity).
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all
 
     # ---- derived (computed in __post_init__) ----

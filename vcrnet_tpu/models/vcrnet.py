@@ -259,6 +259,16 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     reuse iteration 1's graph everywhere; 2 = refresh once on the
     near-aligned iteration-2 cloud, measurably closer to exact). Accuracy
     is A/B'd like the other fast-profile knobs (bench.py --accuracy).
+
+    With ``model.cfg.refine_subsample = M`` (whole mode only) iterations
+    2+ run on the first M points of each cloud: iteration 1's full-size
+    pass does the heavy lifting, and the later iterations only estimate a
+    small residual transform, which needs far fewer correspondences. The
+    subsampled target embedding/encoder pass is computed once, and the
+    subsampled source's spatial kNN is sown on the first subsampled
+    iteration and reused after (exact within the subsample — the same
+    point rows are re-embedded under a rigid transform each time). Also
+    an approximation knob; M >= N degrades to the exact cached path.
     """
     transformed = src
     R_final = None
@@ -266,49 +276,77 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
     out = None
     tgt_emb = None
     tgt_memory = None
-    src_spatial_idx = None
-    src_feature_idx = None
     reuse_feat = model is not None and getattr(
         model.cfg, "reuse_feature_knn", False
     )
     refresh = max(1, getattr(model.cfg, "feature_knn_refresh", 1)) if (
         reuse_feat
     ) else 1
+    sub = 0
+    if model is not None and not model.cfg.partial and n_iter > 1:
+        sub = min(
+            max(0, getattr(model.cfg, "refine_subsample", 0) or 0),
+            src.shape[1],
+        )
+
+    def embed_src(x, spatial_idx, feature_idx, fresh_graph):
+        """One source-embedding pass; a fresh-graph pass sows the
+        selections it computes anyway (spatial xyz-kNN and the DG feature
+        graph) so later iterations can reuse them."""
+        if fresh_graph and model.cfg.emb_nn == "lpdnet":
+            emb, sown = model.apply(
+                variables, x, method=VCRNet.embed,
+                mutable=["intermediates"], spatial_idx=spatial_idx,
+            )
+            inter = sown.get("intermediates", {})
+            if spatial_idx is None:
+                spatial_idx = _find_sown(inter, "spatial_idx")
+            if reuse_feat:
+                feature_idx = _find_sown(inter, "feature_idx")
+            return emb, spatial_idx, feature_idx
+        emb = model.apply(
+            variables, x, method=VCRNet.embed,
+            spatial_idx=spatial_idx, feature_idx=feature_idx,
+        )
+        return emb, spatial_idx, feature_idx
+
     if model is not None:
         tgt_emb = model.apply(variables, tgt, method=VCRNet.embed)
         if model.cfg.pointer == "transformer":
             tgt_memory = model.apply(
                 variables, tgt_emb, method=VCRNet.encode_target
             )
+    # per-size caches: [0] = full clouds (iteration 1), [1] = subsample
+    sp_idx = [None, None]
+    ft_idx = [None, None]
+    tgt_cache = [(tgt, tgt_emb, tgt_memory), None]
     for i in range(n_iter):
-        if model is not None:
-            fresh_graph = i == 0 or (reuse_feat and i < refresh)
-            if fresh_graph and model.cfg.emb_nn == "lpdnet":
-                # a fresh-graph pass sows the selections it computes
-                # anyway (spatial xyz-kNN and the DG feature graph);
-                # later iterations reuse them
-                src_emb, sown = model.apply(
-                    variables, transformed, method=VCRNet.embed,
-                    mutable=["intermediates"],
-                    spatial_idx=src_spatial_idx,
-                )
-                inter = sown.get("intermediates", {})
-                if src_spatial_idx is None:
-                    src_spatial_idx = _find_sown(inter, "spatial_idx")
-                if reuse_feat:
-                    src_feature_idx = _find_sown(inter, "feature_idx")
-            else:
-                src_emb = model.apply(
-                    variables, transformed, method=VCRNet.embed,
-                    spatial_idx=src_spatial_idx,
-                    feature_idx=src_feature_idx,
-                )
-            out = model.apply(
-                variables, transformed, tgt, src_emb, tgt_emb,
-                method=VCRNet.register_embedded, tgt_memory=tgt_memory,
-            )
-        else:
+        if model is None:
             out = apply_fn(variables, transformed, tgt)
+        else:
+            use_sub = sub > 0 and sub < tgt.shape[1] and i >= 1
+            if use_sub and tgt_cache[1] is None:
+                tgt_s = tgt[:, :sub]
+                tgt_emb_s = model.apply(variables, tgt_s, method=VCRNet.embed)
+                tgt_mem_s = None
+                if model.cfg.pointer == "transformer":
+                    tgt_mem_s = model.apply(
+                        variables, tgt_emb_s, method=VCRNet.encode_target
+                    )
+                tgt_cache[1] = (tgt_s, tgt_emb_s, tgt_mem_s)
+            c = 1 if use_sub else 0
+            cur_src = transformed[:, :sub] if use_sub else transformed
+            # fresh feature graph on the first pass at this size, and on
+            # the leading `refresh` iterations when reuse is enabled
+            fresh = sp_idx[c] is None or (reuse_feat and i < refresh)
+            src_emb, sp_idx[c], ft_idx[c] = embed_src(
+                cur_src, sp_idx[c], ft_idx[c], fresh
+            )
+            cur_tgt, cur_tgt_emb, cur_tgt_mem = tgt_cache[c]
+            out = model.apply(
+                variables, cur_src, cur_tgt, src_emb, cur_tgt_emb,
+                method=VCRNet.register_embedded, tgt_memory=cur_tgt_mem,
+            )
         src_k, src_corr_k, R_ab, t_ab, _, _ = out
         transformed = geometry.transform_points(transformed, R_ab, t_ab)
         if R_final is None:
