@@ -129,14 +129,14 @@ class Config:
     # (measurably closer to exact — the iteration-1 cloud is still far from
     # the target pose) and reuse only for iterations 3+.
     refine_subsample: int = 0  # eval refinement (whole mode only): run
-    # iterations 2+ on the first `refine_subsample` points of each cloud
-    # (the pipeline pre-permutes points, so a prefix is a uniform random
-    # subset). Iteration 1 stays full-size — it does the heavy lifting;
-    # later iterations estimate a SMALL delta transform, which needs far
-    # fewer correspondences. APPROXIMATION, opt-in pending the
-    # accuracy/throughput A/B (benchmarks/refine_subsample_probe.py,
-    # bench.py --accuracy). 0 = off; values >= num_points are clamped to
-    # exact (the subsample is then the identity).
+    # iterations 2+ on the first `refine_subsample` points of each cloud.
+    # NEGATIVE RESULT — keep OFF: LPDNet is density-sensitive (its k=20
+    # kNN neighborhoods widen when the cloud shrinks), so the subsampled
+    # iterations run the embedding out-of-distribution and corrupt the
+    # refinement (0.44° -> 5.25° rot RMSE at M=N/2 on the trained
+    # checkpoint; benchmarks/refine_subsample_probe.py, docs/KERNELS.md).
+    # Kept implemented+tested for a future density-conditioned embedding.
+    # 0 = off; values >= num_points are clamped to exact.
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all
 
     # ---- derived (computed in __post_init__) ----
