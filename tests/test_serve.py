@@ -111,6 +111,28 @@ def test_mesh_serving_matches_single_device(served):
     np.testing.assert_allclose(out["R_inv"], ref["R_inv"], atol=1e-5)
 
 
+def test_partial_mode_serving():
+    # the Registrar serves the partial protocol too: clouds are fitted to
+    # cfg.n_cropped and the remasked pointer/partial VCP path runs
+    cfg = Config(
+        num_points=N, emb_dims=64, ff_dims=128, iter=2,
+        partial=True, overlap=0.575,
+    )
+    model = VCRNet(cfg=cfg)
+    rng = np.random.RandomState(8)
+    init = rng.rand(1, cfg.n_cropped, 3).astype(np.float32) - 0.5
+    variables = model.init(jax.random.PRNGKey(0), init, init)
+    reg = Registrar(cfg, variables, buckets=(2,))
+    assert reg.n_points == cfg.n_cropped < N
+    src, tgt = _pair(np.random.RandomState(9), 2, N)  # oversized: subsampled
+    out = reg.register(src, tgt)
+    assert out["R"].shape == (2, 3, 3)
+    np.testing.assert_allclose(
+        np.einsum("bij,bkj->bik", out["R"], out["R"]),
+        np.tile(np.eye(3), (2, 1, 1)), atol=1e-4,
+    )
+
+
 def test_single_pair_shapes(served):
     cfg, variables, reg = served
     src, tgt = _pair(np.random.RandomState(5), 1, N)
