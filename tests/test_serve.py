@@ -111,6 +111,28 @@ def test_mesh_serving_matches_single_device(served):
     np.testing.assert_allclose(out["R_inv"], ref["R_inv"], atol=1e-5)
 
 
+def test_export_roundtrip(served, tmp_path):
+    # export_bucket -> bytes on disk -> load_exported: self-contained
+    # artifact (weights embedded) reproduces the live Registrar exactly
+    from vcrnet_tpu.serve import load_exported
+
+    cfg, variables, reg = served
+    path = str(tmp_path / "bucket2.jaxexport")
+    blob = reg.export_bucket(2, path=path)
+    assert len(blob) > 1000
+    exported = load_exported(path)
+    assert exported.batch == 2 and exported.n_points == N
+    src, tgt = _pair(np.random.RandomState(10), 2, N)
+    out = exported.register(src, tgt)
+    live = reg.register(src, tgt)
+    np.testing.assert_allclose(out["R"], live["R"], atol=1e-6)
+    np.testing.assert_allclose(out["t"], live["t"], atol=1e-6)
+    with pytest.raises(ValueError, match="takes exactly"):
+        exported.register(src[:1], tgt[:1])
+    with pytest.raises(ValueError, match="not one of"):
+        reg.export_bucket(3)
+
+
 def test_partial_mode_serving():
     # the Registrar serves the partial protocol too: clouds are fitted to
     # cfg.n_cropped and the remasked pointer/partial VCP path runs

@@ -145,6 +145,33 @@ class Registrar:
             ).astype(np.float32) - 0.5
             self._run_chunk(cloud, cloud)
 
+    def export_bucket(self, bucket: int, path: str | None = None) -> bytes:
+        """Serialize one bucket's forward as a self-contained
+        ``jax.export`` artifact (StableHLO with the weights embedded as
+        constants): compile once here, ship the blob to serving fleets,
+        reload with :func:`load_exported` — no model code, config, or
+        checkpoint needed at the destination. The artifact is lowered for
+        THIS process's default platform (TPU in production, CPU in tests);
+        loading on another platform fails loudly rather than silently
+        recompiling."""
+        from jax import export as jax_export
+
+        if bucket not in self._buckets:
+            raise ValueError(f"{bucket} is not one of {self._buckets}")
+        inner = self._forward(bucket)
+        variables = self._variables
+
+        spec = jax.ShapeDtypeStruct(
+            (bucket, self.n_points, 3), jnp.float32
+        )
+        fn = jax.jit(lambda src, tgt: inner(variables, src, tgt))
+        blob = jax_export.export(fn)(spec, spec).serialize()
+        if path is not None:
+            with open(path, "wb") as fh:
+                fh.write(blob)
+        return blob
+
+
     # -- public API -----------------------------------------------------
 
     def register(
@@ -198,4 +225,43 @@ class Registrar:
             "t": np.asarray(t_ab)[:b],
             "R_inv": np.asarray(R_ba)[:b],
             "t_inv": np.asarray(t_ba)[:b],
+        }
+
+
+def load_exported(blob_or_path) -> "ExportedRegistrar":
+    """Rehydrate an :meth:`Registrar.export_bucket` artifact into a
+    callable that registers fixed-size numpy batches."""
+    if isinstance(blob_or_path, (str, bytes)) and not isinstance(
+        blob_or_path, bytes
+    ):
+        with open(blob_or_path, "rb") as fh:
+            blob = fh.read()
+    else:
+        blob = blob_or_path
+    from jax import export as jax_export
+
+    return ExportedRegistrar(jax_export.deserialize(blob))
+
+
+class ExportedRegistrar:
+    """Minimal numpy-in/out wrapper over a deserialized export artifact.
+    The batch and point counts are baked in (``.batch``, ``.n_points``)."""
+
+    def __init__(self, exported):
+        self._exported = exported
+        self.batch, self.n_points, _ = exported.in_avals[0].shape
+
+    def register(self, src: np.ndarray, tgt: np.ndarray) -> dict:
+        src = np.asarray(src, np.float32)
+        tgt = np.asarray(tgt, np.float32)
+        want = (self.batch, self.n_points, 3)
+        if src.shape != want or tgt.shape != want:
+            raise ValueError(
+                f"exported artifact takes exactly {want}, got "
+                f"{src.shape} / {tgt.shape}"
+            )
+        R_ab, t_ab, R_ba, t_ba = self._exported.call(src, tgt)
+        return {
+            "R": np.asarray(R_ab), "t": np.asarray(t_ab),
+            "R_inv": np.asarray(R_ba), "t_inv": np.asarray(t_ba),
         }
