@@ -41,7 +41,7 @@ def eval_variant(name, batch, partial, reuse_env, sub_env=""):
     )
 
 
-def train_variant(name, batch, int8):
+def train_variant(name, batch, int8, remat=False):
     import time
 
     from vcrnet_tpu.config import Config
@@ -49,7 +49,7 @@ def train_variant(name, batch, int8):
 
     cfg = Config(
         num_points=1024, emb_dims=512, batch_size=batch,
-        compute_dtype="bfloat16", int8_train_gathers=int8,
+        compute_dtype="bfloat16", int8_train_gathers=int8, remat=remat,
     )
     trainer = Trainer(cfg)
     rng = np.random.RandomState(0)
@@ -198,7 +198,12 @@ def main():
         # step has fixed-cost components (eval B=96/128 was neutral, but
         # training has a different fixed/variable split)
         for b in (64, 96, 128):
-            train_variant(f"train B-sweep", b, False)
+            try:
+                train_variant("train B-sweep", b, False)
+            except Exception as e:  # OOM at larger B: try the remat arm
+                print(f"train B={b} failed ({type(e).__name__}); remat arm:",
+                      flush=True)
+                train_variant("train B-sweep remat", b, False, remat=True)
 
 
 if __name__ == "__main__":

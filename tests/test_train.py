@@ -57,6 +57,35 @@ class TestVCRNetTraining:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]  # overfitting one batch must improve
 
+    def test_remat_train_step_is_exact(self):
+        # Config.remat recomputes the forward in the backward: gradients
+        # and the updated state must match the stored-activation path
+        cfg = tiny_cfg()
+        cfg_r = tiny_cfg(remat=True)
+        train, _ = make_loaders(cfg)
+        batch = next(iter(train))
+        t0 = Trainer(cfg)
+        t1 = Trainer(cfg_r)
+        s0 = t0.init_state(jax.random.PRNGKey(0), batch)
+        s1 = t1.init_state(jax.random.PRNGKey(0), batch)
+        for p0, p1 in zip(
+            jax.tree_util.tree_leaves(s0.params),
+            jax.tree_util.tree_leaves(s1.params),
+        ):  # identical init (remat leaves the param tree unchanged)
+            np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        s0, sums0 = t0._train_step(s0, t0._to_device(batch))
+        s1, sums1 = t1._train_step(s1, t1._to_device(batch))
+        np.testing.assert_allclose(
+            float(sums0["loss"]), float(sums1["loss"]), rtol=1e-6
+        )
+        for p0, p1 in zip(
+            jax.tree_util.tree_leaves(s0.params),
+            jax.tree_util.tree_leaves(s1.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(p0), np.asarray(p1), atol=1e-6
+            )
+
     def test_eval_epoch_reports_reference_metrics(self):
         cfg = tiny_cfg(iter=1)
         trainer = Trainer(cfg)

@@ -137,6 +137,12 @@ class Config:
     # checkpoint; benchmarks/refine_subsample_probe.py, docs/KERNELS.md).
     # Kept implemented+tested for a future density-conditioned embedding.
     # 0 = off; values >= num_points are clamped to exact.
+    remat: bool = False  # training: jax.checkpoint (rematerialize) the
+    # embedding and pointer forward activations instead of storing them
+    # — EXACT (same math, recompute in backward), trades ~1 extra forward
+    # of FLOPs for most of the activation HBM. Off by default at B=64
+    # (fits comfortably); the lever for larger train batches (reuse_ab.py
+    # trainb sweep) or larger N.
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all
 
     # ---- derived (computed in __post_init__) ----

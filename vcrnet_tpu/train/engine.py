@@ -171,9 +171,19 @@ class Trainer:
 
     def _apply(self, variables, src, tgt, train: bool, rngs=None):
         if train:
-            return self.model.apply(
-                variables, src, tgt, True, mutable=["batch_stats"], rngs=rngs
-            )
+            def fwd(variables, src, tgt):
+                return self.model.apply(
+                    variables, src, tgt, True,
+                    mutable=["batch_stats"], rngs=rngs,
+                )
+
+            if self.cfg.remat:
+                # full rematerialization: store only the step inputs and
+                # recompute the forward during the backward — exact math,
+                # ~one extra forward of FLOPs for most of the activation
+                # HBM (Config.remat; lever for larger batch/N)
+                fwd = jax.checkpoint(fwd)
+            return fwd(variables, src, tgt)
         return self.model.apply(variables, src, tgt), {}
 
     def _vcrnet_loss_and_sums(self, out, batch, valid):
