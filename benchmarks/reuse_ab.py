@@ -200,9 +200,15 @@ def main():
         for b in (64, 96, 128):
             try:
                 train_variant("train B-sweep", b, False)
-            except Exception as e:  # OOM at larger B: try the remat arm
-                print(f"train B={b} failed ({type(e).__name__}); remat arm:",
-                      flush=True)
+            except Exception as e:
+                # only an HBM-capacity failure justifies the remat arm;
+                # anything else (tunnel outage, code bug) must surface
+                msg = str(e)
+                if not any(
+                    s in msg for s in ("RESOURCE_EXHAUSTED", "Out of memory")
+                ):
+                    raise
+                print(f"train B={b} OOM ({msg[:200]}); remat arm:", flush=True)
                 train_variant("train B-sweep remat", b, False, remat=True)
 
 

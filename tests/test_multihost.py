@@ -63,9 +63,38 @@ def test_slice_rejects_indivisible():
         local_batch_slice(_batch(6), process_index=0, process_count=4)
 
 
-def test_initialize_single_process_noop():
+def test_initialize_single_process_noop(monkeypatch):
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("NUM_PROCESSES", raising=False)
     assert initialize() is False  # no multi-process env announced
     assert jax.process_count() == 1  # and nothing was brought up
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "")  # empty: still a no-op
+    assert initialize() is False
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "${NPROC}")  # unexpanded template
+    assert initialize() is False
+
+
+def test_initialize_pod_markers_and_error_propagation(monkeypatch):
+    # TPU pod metadata markers trigger the auto-detect bring-up; the
+    # idempotent 'already initialized' error is tolerated, real failures
+    # propagate (a broken pod launch must not silently go single-process)
+    calls = []
+
+    def fake_init(**kw):
+        calls.append(kw)
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setenv("TPU_PROCESS_ADDRESSES", "10.0.0.1:8476,10.0.0.2:8476")
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    assert initialize() is False  # tolerated; process_count still 1
+    assert calls == [{}]
+
+    def fake_init_fail(**kw):
+        raise RuntimeError("failed to connect to coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init_fail)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        initialize()
 
 
 def test_trainer_to_device_multihost_path(monkeypatch):

@@ -132,6 +132,27 @@ def test_export_roundtrip(served, tmp_path):
     with pytest.raises(ValueError, match="not one of"):
         reg.export_bucket(3)
 
+    # a bytes blob (not just a path) also loads
+    out2 = load_exported(blob).register(src, tgt)
+    np.testing.assert_array_equal(out2["R"], out["R"])
+
+
+def test_export_from_mesh_registrar_is_portable(served):
+    # export from a mesh-backed Registrar must NOT bake the 8-device
+    # sharding into the artifact: the weights are pulled to host first,
+    # so the blob lowers single-device and loads anywhere
+    from vcrnet_tpu.parallel.mesh import make_mesh
+    from vcrnet_tpu.serve import load_exported
+
+    cfg, variables, reg = served
+    mreg = Registrar(cfg, variables, buckets=(2,), mesh=make_mesh())
+    blob = mreg.export_bucket(mreg._buckets[0])
+    exported = load_exported(blob)
+    src, tgt = _pair(np.random.RandomState(11), exported.batch, N)
+    out = exported.register(src, tgt)
+    live = mreg.register(src, tgt)
+    np.testing.assert_allclose(out["R"], live["R"], atol=1e-5)
+
 
 def test_partial_mode_serving():
     # the Registrar serves the partial protocol too: clouds are fitted to

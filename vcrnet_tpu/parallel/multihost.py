@@ -42,26 +42,43 @@ def initialize(**kwargs) -> bool:
     """Bring up the JAX distributed runtime if this looks like a
     multi-process launch; return True when multi-process.
 
-    With no arguments, ``jax.distributed.initialize`` auto-detects the
-    coordinator from the environment (TPU pod metadata, or
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
-    Calling it is unnecessary — and on some setups an error — for
-    single-process runs, so this wrapper only initializes when the
-    environment announces more than one process, and is idempotent.
+    ``jax.distributed.initialize`` is attempted when (a) the caller
+    passes explicit kwargs, (b) the environment announces a process
+    count > 1 (JAX_NUM_PROCESSES / NUM_PROCESSES), or (c) TPU pod
+    metadata markers are present (TPU_PROCESS_ADDRESSES /
+    TPU_WORKER_HOSTNAMES / MEGASCALE_COORDINATOR_ADDRESS) — the case
+    where JAX auto-detects the coordinator itself. Initialization
+    failures PROPAGATE (a misconfigured pod job must fail loudly, not
+    silently train one divergent model per host); only the idempotent
+    "already initialized" case is tolerated. Single-process runs with
+    none of the markers are a clean no-op.
     """
     import os
 
-    announced = int(
-        os.environ.get(
-            "JAX_NUM_PROCESSES", os.environ.get("NUM_PROCESSES", "1")
-        )
+    announced_raw = os.environ.get(
+        "JAX_NUM_PROCESSES", os.environ.get("NUM_PROCESSES", "")
+    ).strip()
+    announced = int(announced_raw) if announced_raw.isdigit() else 1
+    # single-host TPU setups also define these (e.g. TPU_WORKER_HOSTNAMES=
+    # localhost on this very container); only a MULTI-worker value — a
+    # comma-separated list, or a megascale coordinator — means a pod
+    pod_markers = (
+        "," in os.environ.get("TPU_PROCESS_ADDRESSES", "")
+        or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     )
-    if kwargs.get("num_processes", announced) <= 1:
+    should_init = (
+        bool(kwargs)
+        or kwargs.get("num_processes", announced) > 1
+        or pod_markers
+    )
+    if not should_init:
         return jax.process_count() > 1
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
     return jax.process_count() > 1
 
 

@@ -159,7 +159,15 @@ class Registrar:
         if bucket not in self._buckets:
             raise ValueError(f"{bucket} is not one of {self._buckets}")
         inner = self._forward(bucket)
-        variables = self._variables
+        # a mesh-backed Registrar holds mesh-committed variables; baking
+        # that sharding into the artifact would pin it to this host's
+        # device count — pull the weights to host so the export lowers
+        # single-device (portable) regardless of how THIS process serves
+        variables = (
+            jax.device_get(self._variables)
+            if self.mesh is not None
+            else self._variables
+        )
 
         spec = jax.ShapeDtypeStruct(
             (bucket, self.n_points, 3), jnp.float32
@@ -229,15 +237,16 @@ class Registrar:
 
 
 def load_exported(blob_or_path) -> "ExportedRegistrar":
-    """Rehydrate an :meth:`Registrar.export_bucket` artifact into a
-    callable that registers fixed-size numpy batches."""
-    if isinstance(blob_or_path, (str, bytes)) and not isinstance(
-        blob_or_path, bytes
-    ):
+    """Rehydrate an :meth:`Registrar.export_bucket` artifact (raw bytes,
+    or a path to one) into a callable that registers fixed-size numpy
+    batches."""
+    import os
+
+    if isinstance(blob_or_path, (str, os.PathLike)):
         with open(blob_or_path, "rb") as fh:
             blob = fh.read()
     else:
-        blob = blob_or_path
+        blob = bytes(blob_or_path)
     from jax import export as jax_export
 
     return ExportedRegistrar(jax_export.deserialize(blob))

@@ -442,8 +442,13 @@ class Trainer:
     def worst_cases(self, state: TrainState, loader, k: int = 5):
         """Indices (dataset order) of the k worst rotation and translation
         errors over the loader."""
+        # outputs replicated so every process can fetch them to host
+        # (under the multi-host feed path a batch-sharded output would
+        # span non-addressable devices and np.asarray would fail)
         fn = jax.jit(
-            self._per_sample_errors_impl, in_shardings=(self._rep, self._shd)
+            self._per_sample_errors_impl,
+            in_shardings=(self._rep, self._shd),
+            out_shardings=self._rep,
         )
         rot, trans = [], []
         for batch in loader:
