@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--feature_knn_refresh", type=int, default=1,
                    help="with --reuse_feature_knn: leading iterations that "
                         "compute a fresh feature graph (see Config)")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize the training forward (exact; trades "
+                        "~1 extra forward of FLOPs for activation HBM — "
+                        "lever for larger --batch_size / --num_points)")
     p.add_argument("--pretrained_t7", type=str, default="",
                    help="optional LPDNet .t7 to warm-start the embedding")
     p.add_argument("--show_worst", type=int, default=0,
