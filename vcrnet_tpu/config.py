@@ -114,8 +114,10 @@ class Config:
     # one-hot gathers int8 DURING TRAINING too (they are always int8 at
     # eval). The custom backward recomputes from the same quantized table,
     # giving the straight-through gradient of the quantized forward
-    # (tests/test_ops.py::test_int8_*_straight_through). Opt-in pending
-    # the convergence + step-time A/B on TPU.
+    # (tests/test_ops.py::test_int8_*_straight_through). Measured NEUTRAL
+    # on TPU (139.3 vs 140.0 ms/step @ B=64, within the ±8% session
+    # noise; benchmarks/reuse_ab.py) — stays OFF: no speed to buy the
+    # extra quantization noise in gradients with.
     reuse_feature_knn: bool = False  # eval refinement: reuse a previous
     # iteration's FEATURE-space kNN selection in later iterations
     # (vcrnet_iter). Unlike the always-on spatial-kNN reuse (exact: rigid

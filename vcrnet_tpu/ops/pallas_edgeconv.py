@@ -39,11 +39,19 @@ from jax.experimental.pallas import tpu as pltpu
 # selection loop FIRST (VPU-only), then all gathers + the convDG2 conv as
 # single large MXU matmuls (the structure of the from-idx/backward
 # kernels) instead of interleaving an MXU gather into every serial
-# selection step. A/B gate, overridable per-run for on-TPU measurement:
-# VCRNET_DEFERRED_GATHER=1.
-DEFERRED_DEFAULT = os.environ.get(
-    "VCRNET_DEFERRED_GATHER", ""
-).strip().lower() not in ("", "0", "false", "off", "no")
+# selection step. TPU A/B (v5e, B=64 N=1024 k=20, docs/KERNELS.md):
+#   edge_conv  int8 7.66 -> 5.98 ms   gather_max int8 7.72 -> 6.07 ms
+#   edge_conv  bf16 8.37 -> 7.60 ms   gather_max bf16 9.14 -> 11.69 ms
+# so the measured default is ON everywhere EXCEPT bf16 gather_max (the
+# one case where the [k*TQ, N] one-hot matmul at 2-byte width loses to
+# the interleaved per-step gathers). VCRNET_DEFERRED_GATHER=1/0 forces
+# both kernels on/off for re-measurement; unset uses the per-kernel
+# policy below.
+_DEFERRED_ENV = os.environ.get("VCRNET_DEFERRED_GATHER", "").strip().lower()
+DEFERRED_OVERRIDE: bool | None = (
+    None if _DEFERRED_ENV == ""
+    else _DEFERRED_ENV not in ("0", "false", "off", "no")
+)
 
 
 def _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q):
@@ -804,7 +812,10 @@ def _fused_edge_conv_fwd_impl(
     int8_gather: bool = False, deferred_gather: bool | None = None,
 ):
     if deferred_gather is None:
-        deferred_gather = DEFERRED_DEFAULT
+        # measured default: deferred wins for edge-conv at both widths
+        deferred_gather = (
+            DEFERRED_OVERRIDE if DEFERRED_OVERRIDE is not None else True
+        )
     B, N, C = x.shape
     F = a.shape[-1]
     tile_q = _pick_tile(N, tile_q)
@@ -1034,7 +1045,11 @@ def _fused_gather_max_impl(
     deferred_gather: bool | None = None,
 ):
     if deferred_gather is None:
-        deferred_gather = DEFERRED_DEFAULT
+        # measured default: deferred wins at int8 width, loses at bf16
+        deferred_gather = (
+            DEFERRED_OVERRIDE if DEFERRED_OVERRIDE is not None
+            else int8_gather
+        )
     B, N, C = x.shape
     F = values.shape[-1]
     tile_q = _pick_tile(N, tile_q)
