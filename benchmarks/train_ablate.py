@@ -59,13 +59,21 @@ def main():
     print(f"emb fwd-only (train=True, 2B={2*B}): "
           f"{chain_time(emb_fwd, pts2)*1000:7.2f} ms", flush=True)
 
+    def _grad_live(g):
+        # full-sum every grad leaf: keeping only leaves()[0][0] lets XLA
+        # DCE the other params' dW matmuls (and for params near the loss,
+        # most of the backward), wildly underreporting fwd+bwd time
+        return sum(
+            jnp.sum(l.astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(g)
+        )
+
     def emb_fwdbwd(x):
         loss, g = jax.value_and_grad(
             lambda p: lpd.apply({"params": p}, x, True).astype(
                 jnp.float32).mean()
         )(params)
-        leaf = jax.tree_util.tree_leaves(g)[0]
-        return x + 1e-9 * loss + 1e-12 * leaf.ravel()[0]
+        return x + 1e-9 * loss + 1e-12 * _grad_live(g)
 
     print(f"emb fwd+bwd (train=True, 2B={2*B}): "
           f"{chain_time(emb_fwdbwd, pts2)*1000:7.2f} ms", flush=True)
@@ -88,8 +96,7 @@ def main():
             return (a + b).astype(jnp.float32).mean()
 
         loss, g = jax.value_and_grad(loss_fn)(pparams)
-        leaf = jax.tree_util.tree_leaves(g)[0]
-        return e + 1e-9 * loss + 1e-12 * leaf.ravel()[0]
+        return e + 1e-9 * loss + 1e-12 * _grad_live(g)
 
     print(f"pointer fwd+bwd (B={B}): "
           f"{chain_time(ptr_fwdbwd, emb0)*1000:7.2f} ms", flush=True)

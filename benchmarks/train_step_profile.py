@@ -100,7 +100,11 @@ def main():
             st2, sums = trainer._train_step_impl(st, dev)
             return st2, sums["loss"]
         st, losses = jax.lax.scan(body, s, None, length=T)
-        return losses[-1]
+        # keep the updated state LIVE in the output: returning only
+        # losses[-1] lets XLA DCE the backward+optimizer on the T=1 leg
+        # (the loss needs only the forward), inflating the slope ~17 ms
+        # (see CLAUDE.md "chained-timing artifact")
+        return losses[-1] + jax.tree_util.tree_leaves(st.params)[0].ravel()[0]
 
     # --- component fwd+bwd: embedding only, pointer only -----------------
     variables0 = {"params": state.params}

@@ -415,7 +415,12 @@ class TestPallasEdgeConv:
             atol=1e-4,
         )
 
-    def test_int8_edge_conv_grad_is_straight_through(self):
+    def test_int8_edge_conv_grad_decoupled_backward(self):
+        # NEW winner-driven semantics: the forward gathers the QUANTIZED
+        # table (selection + outputs in the quantized domain), while the
+        # backward evaluates the gradient with EXACT values at the
+        # forward's winner selection (winners saved by the kernel, so no
+        # value-match claim couples the two domains).
         import jax
         from vcrnet_tpu.ops.pallas_edgeconv import fused_edge_conv
 
@@ -435,11 +440,26 @@ class TestPallasEdgeConv:
             )
             return jnp.sum(x1 * ct1) + jnp.sum(x2 * ct2)
 
+        # winners from the QUANTIZED forward (first max == jnp.argmax)
+        aq_nb = ops.gather_neighbors(self._quant_st(a), idx)
+        zq = jnp.maximum(aq_nb + h[:, :, None, :], 0)
+        win1 = jnp.argmax(zq, axis=2)  # [B, N, F]
+        yq = jnp.maximum(zq @ w2 + b2, 0)
+        win2 = jnp.argmax(yq, axis=2)
+        take = lambda t, w: jnp.take_along_axis(
+            t, w[:, :, None, :], axis=2
+        )[:, :, 0]
+        # the x2 cotangent is activation-gated by the sign of the SAVED
+        # (quantized-domain) output — that is what the kernel's
+        # dleaky(x2) does — not by the exact-value relu
+        gate2 = (take(yq, win2) > 0).astype(jnp.float32)
+
         def loss_xla(a_, h_, w2_, b2_):
-            a_nb = ops.gather_neighbors(self._quant_st(a_), idx)
+            a_nb = ops.gather_neighbors(a_, idx)  # EXACT values
             z = jnp.maximum(a_nb + h_[:, :, None, :], 0)
-            x1 = self._first_claim_max(z)
-            x2 = self._first_claim_max(jnp.maximum(z @ w2_ + b2_, 0))
+            ylin = z @ w2_ + b2_  # linear; relu' replaced by gate2
+            x1 = take(z, win1)
+            x2 = take(ylin, win2) * gate2
             return jnp.sum(x1 * ct1) + jnp.sum(x2 * ct2)
 
         gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(a, h, w2, b2)
@@ -708,3 +728,80 @@ class TestPallasEdgeConvGrad:
                 rel = np.abs(f32 - r32) / max(np.abs(r32).max(), 1.0)
                 assert (rel > 0.05).mean() < 0.02, name
                 assert np.median(rel) < 0.01, name
+
+
+class TestLayerNormVJP:
+    """ops/layernorm.py: forward bit-identical to the naive formulation,
+    analytic backward == autodiff of the naive formulation."""
+
+    @staticmethod
+    def _naive(x, a, b, eps=1e-6):
+        d = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mean) ** 2).sum(axis=-1, keepdims=True) / (d - 1)
+        y = a * (xf - mean) / (jnp.sqrt(var) + eps) + b
+        return y.astype(x.dtype)
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_forward_bit_identical(self, dtype):
+        import jax as _jax
+
+        from vcrnet_tpu.ops.layernorm import layer_norm_torch
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 33, 96).astype(np.float32), dtype)
+        a = jnp.asarray(rng.rand(96).astype(np.float32) + 0.5)
+        b = jnp.asarray(rng.randn(96).astype(np.float32))
+        got = _jax.jit(layer_norm_torch)(x, a, b)
+        want = _jax.jit(self._naive)(x, a, b)
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        )
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_backward_matches_autodiff(self, dtype):
+        import jax as _jax
+
+        from vcrnet_tpu.ops.layernorm import layer_norm_torch
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(3, 17, 64).astype(np.float32), dtype)
+        a = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+        b = jnp.asarray(rng.randn(64).astype(np.float32))
+        ct = jnp.asarray(rng.randn(3, 17, 64).astype(np.float32), dtype)
+
+        def loss(fn, args):
+            return jnp.sum(fn(*args).astype(jnp.float32) * ct.astype(jnp.float32))
+
+        g = _jax.grad(lambda t: loss(layer_norm_torch, t))((x, a, b))
+        g_ref = _jax.grad(lambda t: loss(self._naive, t))((x, a, b))
+        assert g[0].dtype == dtype
+        tol = 1e-5 if dtype == jnp.float32 else 2e-2
+        for name, f, r in zip(("dx", "da", "db"), g, g_ref):
+            f32 = np.asarray(f, np.float32)
+            r32 = np.asarray(r, np.float32)
+            fro = np.linalg.norm(f32 - r32) / max(np.linalg.norm(r32), 1e-6)
+            assert fro < tol, (name, fro)
+
+    def test_grad_through_module(self):
+        # the flax wrapper differentiates end-to-end (params + input)
+        import jax as _jax
+
+        from vcrnet_tpu.models.transformer import TorchLayerNorm
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 9, 32).astype(np.float32))
+        m = TorchLayerNorm()
+        v = m.init(_jax.random.PRNGKey(0), x)
+
+        def loss(params, xx):
+            return jnp.sum(m.apply({"params": params}, xx) ** 2)
+
+        gp, gx = _jax.grad(loss, argnums=(0, 1))(v["params"], x)
+        assert np.isfinite(np.asarray(gx)).all()
+        assert all(
+            np.isfinite(np.asarray(l)).all()
+            for l in _jax.tree_util.tree_leaves(gp)
+        )

@@ -33,19 +33,17 @@ class TorchLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from vcrnet_tpu.ops.layernorm import layer_norm_torch
+
         d = x.shape[-1]
         a = self.param("a_2", nn.initializers.ones, (d,))
         b = self.param("b_2", nn.initializers.zeros, (d,))
-        in_dtype = x.dtype
-        x = x.astype(jnp.float32)  # normalise in f32 even on the bf16 path
-        mean = x.mean(axis=-1, keepdims=True)
-        var = ((x - mean) ** 2).sum(axis=-1, keepdims=True) / (d - 1)
-        std = jnp.sqrt(var)
-        y = a * (x - mean) / (std + self.eps) + b
-        # write back in the input dtype: on the bf16 path every consumer
-        # (attention/FF projections) casts to bf16 anyway, so emitting f32
-        # here only doubles the HBM traffic of the norm and its reader
-        return y.astype(in_dtype)
+        # f32 math, output cast back to the input dtype (on the bf16 path
+        # every consumer casts to bf16 anyway, so emitting f32 would only
+        # double the HBM traffic of the norm and its reader). The analytic
+        # custom VJP avoids autodiff's f32 residual traffic — see
+        # ops/layernorm.py.
+        return layer_norm_torch(x, a, b, self.eps)
 
 
 def _remask_topk_keys(scores: jax.Array, p_attn: jax.Array, keep_k: int):

@@ -15,14 +15,18 @@ The per-iteration neighbor "gather" is a one-hot matmul against the
 VMEM-resident value table — MXU work, no dynamic addressing.
 
 Backward (custom_vjp, used by the TRAINING path): the forward additionally
-emits its selection indices ([B, N, k] int32); the backward kernel
-turns all k selections into ONE [k*TQ, N] one-hot per query tile and runs
-the whole VJP as a handful of large MXU matmuls (gather, z@w2, z^T@dp,
-dp@w2^T, and the scatter onehot^T@dq) — no score recompute, no serial
-argmax chain, and no [B, N, k, F] edge tensor in HBM in either direction.
-Max winners are identified by value-match against the saved outputs (first
-match claims, torch argmax semantics). kNN indices carry zero gradient,
-matching torch.topk (reference util/util.py:143-160).
+emits its selection indices ([B, N, k] int32) AND the max-WINNER k-position
+per output channel ([B, N, F] int8 — tracked for free inside the selection
+loop); the backward kernel turns all k selections into ONE [k*TQ, N]
+one-hot per query tile and runs the whole VJP as a handful of large MXU
+matmuls (gather, z^T@dp, dp@w2^T, and the scatter onehot^T@dq) — no score
+recompute, no serial argmax chain, no second-conv recompute, and no
+[B, N, k, F] edge tensor in HBM in either direction. Because max routing
+comes from the saved winners (not value-match claims), the backward math
+is decoupled from the forward's gather dtype: int8 forward gathers get a
+backward evaluated with exact values at the forward's winner selection.
+kNN indices carry zero gradient, matching torch.topk (reference
+util/util.py:143-160).
 """
 
 from __future__ import annotations
@@ -152,8 +156,8 @@ def _gather_rows(sel, table, scale, int8_gather: bool):
 
 def _edge_conv_kernel(
     x_q_ref, x_k_ref, norms_ref, a_ref, scale_ref, h_ref, w2_ref, b2_ref,
-    x1_ref, x2_ref, idx_ref, *, k: int, tile_q: int, slope: float,
-    packed_select: bool, int8_gather: bool,
+    x1_ref, x2_ref, idx_ref, *win_refs, k: int, tile_q: int, slope: float,
+    packed_select: bool, int8_gather: bool, emit_winners: bool = False,
 ):
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
     a_full = a_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
@@ -177,7 +181,7 @@ def _edge_conv_kernel(
     # fori_loop, not a python unroll: keeps the Mosaic program (and its
     # compile time) independent of k
     def body(j, carry):
-        scores, x1, x2, idx = carry
+        scores, x1, x2, idx, w1, w2_win = carry
         if packed_select:
             sel, amax, scores = _packed_pop_max(scores, mask)
         else:
@@ -186,29 +190,44 @@ def _edge_conv_kernel(
             scores = jnp.where(sel, neg_inf, scores)
         g = _gather_rows(sel, a_full, a_scale, int8_gather)
         z = leaky(g + h32)
-        x1 = jnp.maximum(x1, z)
         y = leaky(
             jnp.dot(
                 z.astype(w2.dtype), w2, preferred_element_type=jnp.float32
             )
             + b32
         )
-        x2 = jnp.maximum(x2, y)
+        if emit_winners:
+            # strict > keeps the FIRST j achieving the final max (torch
+            # argmax semantics), in the exact f32 domain
+            b1 = z > x1
+            b2w = y > x2
+            x1 = jnp.where(b1, z, x1)
+            x2 = jnp.where(b2w, y, x2)
+            w1 = jnp.where(b1, j, w1)
+            w2_win = jnp.where(b2w, j, w2_win)
+        else:
+            x1 = jnp.maximum(x1, z)
+            x2 = jnp.maximum(x2, y)
         # record the selection (consumed by the backward)
         idx = jnp.where(k_ids == j, amax[:, None], idx)
-        return scores, x1, x2, idx
+        return scores, x1, x2, idx, w1, w2_win
 
     init = (
         scores,
         jnp.full((tile_q, f), neg_inf, jnp.float32),
         jnp.full((tile_q, f), neg_inf, jnp.float32),
         jnp.zeros((tile_q, k), jnp.int32),
+        jnp.zeros((tile_q, f), jnp.int32),
+        jnp.zeros((tile_q, f), jnp.int32),
     )
-    _, x1, x2, idx = jax.lax.fori_loop(0, k, body, init)
+    _, x1, x2, idx, w1, w2_win = jax.lax.fori_loop(0, k, body, init)
 
     x1_ref[0] = x1.astype(x1_ref.dtype)
     x2_ref[0] = x2.astype(x2_ref.dtype)
     idx_ref[0] = idx
+    if emit_winners:
+        win_refs[0][0] = w1.astype(win_refs[0].dtype)
+        win_refs[1][0] = w2_win.astype(win_refs[1].dtype)
 
 
 def _select_knn_idx(scores, col_ids, k: int, tile_q: int,
@@ -239,8 +258,8 @@ def _select_knn_idx(scores, col_ids, k: int, tile_q: int,
 
 def _edge_conv_deferred_kernel(
     x_q_ref, x_k_ref, norms_ref, a_ref, scale_ref, h_ref, w2_ref, b2_ref,
-    x1_ref, x2_ref, idx_ref, *, k: int, tile_q: int, slope: float,
-    packed_select: bool, int8_gather: bool,
+    x1_ref, x2_ref, idx_ref, *win_refs, k: int, tile_q: int, slope: float,
+    packed_select: bool, int8_gather: bool, emit_winners: bool = False,
 ):
     """_edge_conv_kernel with the gathers DEFERRED out of the selection
     loop: select all k indices first (VPU-only serial chain), then run the
@@ -276,9 +295,24 @@ def _edge_conv_deferred_kernel(
     )
     x1 = z[0:tile_q]
     x2 = y[0:tile_q]
-    for j in range(1, k):
-        x1 = jnp.maximum(x1, z[j * tile_q:(j + 1) * tile_q])
-        x2 = jnp.maximum(x2, y[j * tile_q:(j + 1) * tile_q])
+    if emit_winners:
+        w1 = jnp.zeros(x1.shape, jnp.int32)
+        w2_win = jnp.zeros(x2.shape, jnp.int32)
+        for j in range(1, k):
+            zj = z[j * tile_q:(j + 1) * tile_q]
+            yj = y[j * tile_q:(j + 1) * tile_q]
+            b1 = zj > x1  # strict >: first j claims (torch argmax)
+            b2w = yj > x2
+            x1 = jnp.where(b1, zj, x1)
+            x2 = jnp.where(b2w, yj, x2)
+            w1 = jnp.where(b1, j, w1)
+            w2_win = jnp.where(b2w, j, w2_win)
+        win_refs[0][0] = w1.astype(win_refs[0].dtype)
+        win_refs[1][0] = w2_win.astype(win_refs[1].dtype)
+    else:
+        for j in range(1, k):
+            x1 = jnp.maximum(x1, z[j * tile_q:(j + 1) * tile_q])
+            x2 = jnp.maximum(x2, y[j * tile_q:(j + 1) * tile_q])
     x1_ref[0] = x1.astype(x1_ref.dtype)
     x2_ref[0] = x2.astype(x2_ref.dtype)
     idx_ref[0] = idx
@@ -286,7 +320,8 @@ def _edge_conv_deferred_kernel(
 
 def _gather_max_deferred_kernel(
     x_q_ref, x_k_ref, norms_ref, v_ref, scale_ref, out_ref, idx_ref,
-    *, k: int, tile_q: int, packed_select: bool, int8_gather: bool,
+    *win_refs, k: int, tile_q: int, packed_select: bool, int8_gather: bool,
+    emit_winners: bool = False,
 ):
     """_gather_max_kernel with deferred gathers (see
     _edge_conv_deferred_kernel)."""
@@ -302,15 +337,25 @@ def _gather_max_deferred_kernel(
         onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
         g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
     m = g[0:tile_q]
-    for j in range(1, k):
-        m = jnp.maximum(m, g[j * tile_q:(j + 1) * tile_q])
+    if emit_winners:
+        w = jnp.zeros(m.shape, jnp.int32)
+        for j in range(1, k):
+            gj = g[j * tile_q:(j + 1) * tile_q]
+            b = gj > m  # strict >: first j claims (torch argmax)
+            m = jnp.where(b, gj, m)
+            w = jnp.where(b, j, w)
+        win_refs[0][0] = w.astype(win_refs[0].dtype)
+    else:
+        for j in range(1, k):
+            m = jnp.maximum(m, g[j * tile_q:(j + 1) * tile_q])
     out_ref[0] = m.astype(out_ref.dtype)
     idx_ref[0] = idx
 
 
 def _gather_max_kernel(
     x_q_ref, x_k_ref, norms_ref, v_ref, scale_ref, out_ref, idx_ref,
-    *, k: int, tile_q: int, packed_select: bool, int8_gather: bool,
+    *win_refs, k: int, tile_q: int, packed_select: bool, int8_gather: bool,
+    emit_winners: bool = False,
 ):
     scores, col_ids = _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q)
     values = v_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
@@ -323,7 +368,7 @@ def _gather_max_kernel(
         scores, mask = _pack_scores(scores, col_ids, n)
 
     def body(j, carry):
-        scores, gmax, idx = carry
+        scores, gmax, idx, w = carry
         if packed_select:
             sel, amax, scores = _packed_pop_max(scores, mask)
         else:
@@ -331,37 +376,27 @@ def _gather_max_kernel(
             sel = col_ids == amax[:, None]
             scores = jnp.where(sel, neg_inf, scores)
         g = _gather_rows(sel, values, v_scale, int8_gather)
-        gmax = jnp.maximum(gmax, g)
+        if emit_winners:
+            b = g > gmax  # strict >: first j claims (torch argmax)
+            gmax = jnp.where(b, g, gmax)
+            w = jnp.where(b, j, w)
+        else:
+            gmax = jnp.maximum(gmax, g)
         idx = jnp.where(k_ids == j, amax[:, None], idx)
-        return scores, gmax, idx
+        return scores, gmax, idx, w
 
     init = (
         scores,
         jnp.full((tile_q, f), neg_inf, jnp.float32),
         jnp.zeros((tile_q, k), jnp.int32),
+        jnp.zeros((tile_q, f), jnp.int32),
     )
-    _, gmax, idx = jax.lax.fori_loop(0, k, body, init)
+    _, gmax, idx, w = jax.lax.fori_loop(0, k, body, init)
 
     out_ref[0] = gmax.astype(out_ref.dtype)
     idx_ref[0] = idx
-
-
-def _claim_first(vals_kmaj, target32, out_dt, tile_q: int, k: int):
-    """First value-match along k claims the cotangent (torch argmax
-    semantics). vals_kmaj [k*TQ, F] f32 in k-major row order; target32
-    [TQ, F] f32 (the forward's saved max, cast back from the output dtype).
-    Returns a {0,1} float mask [k*TQ, F]. Static python loop over k: 2k
-    elementwise [TQ, F] ops, no serial matmul/argmax chain. The comparison
-    runs in f32 lanes (bf16 i1 masks hit Mosaic relayout limits)."""
-    takes = []
-    rem = jnp.ones(target32.shape, jnp.float32)
-    for j in range(k):
-        vj = vals_kmaj[j * tile_q:(j + 1) * tile_q]
-        vj_cast = vj.astype(out_dt).astype(jnp.float32)
-        t = jnp.where(vj_cast == target32, jnp.float32(1.0), 0.0) * rem
-        rem = rem - t
-        takes.append(t)
-    return jnp.concatenate(takes, axis=0)
+    if emit_winners:
+        win_refs[0][0] = w.astype(win_refs[0].dtype)
 
 
 def _kmajor_broadcast(x, k: int):
@@ -380,45 +415,40 @@ def _kmajor_onehot(idx, n: int, k: int, tile_q: int, dtype):
 
 
 def _edge_conv_bwd_kernel(
-    idx_ref, a_ref, scale_ref, h_ref, w2_ref, b2_ref,
-    x1_ref, x2_ref, ct1_ref, ct2_ref,
+    idx_ref, win1_ref, win2_ref, a_ref, h_ref, w2_ref,
+    x2_ref, ct1_ref, ct2_ref,
     da_ref, dh_ref, dw2_ref, db2_ref,
-    *, k: int, tile_q: int, slope: float, n: int, int8_gather: bool,
+    *, k: int, tile_q: int, slope: float, n: int,
 ):
     """Backward of _edge_conv_kernel, batched over k.
 
-    Consumes the forward's saved neighbor indices ([TQ, k]), so
-    there is NO score recompute and NO serial argmax chain: the k neighbor
-    selections become ONE [k*TQ, N] one-hot whose matmuls (gather, z@w2,
-    z^T@dp, dp@w2^T, onehot^T@dq — the scatter) each run as a single large
-    MXU op per tile. z/y are recomputed in VMEM from the indices (exact:
-    same one-hot-gather + f32 ops as the forward), and the max winners are
-    identified by value-match against the saved outputs (first match
-    claims, torch argmax semantics).
+    Consumes the forward's saved neighbor indices ([TQ, k]) AND max-winner
+    indices ([TQ, F], the k-position that won each output channel), so
+    there is NO score recompute, NO serial argmax chain, and NO second
+    conv recompute: the k neighbor selections become ONE [k*TQ, N] one-hot
+    whose matmuls (gather, z^T@dp, dp@w2^T, onehot^T@dq — the scatter)
+    each run as a single large MXU op per tile. Only z is recomputed in
+    VMEM (its gather matmul feeds dw2 and dleaky); the x2 = max(y) branch
+    needs no y recompute at all — dleaky at the winner equals dleaky of
+    the saved output, and winner masks replace the value-match claims.
 
-    Under ``int8_gather`` a_ref holds the SAME pre-quantized table the
-    forward consumed (quantized once in XLA — an in-kernel requantize is
-    NOT bitwise-identical to the XLA one: the compiled division rounds
-    differently in the last ULP, which silently breaks the value-match
-    claims). The resulting da is the straight-through gradient of the
-    quantized forward (d quant/da = 1)."""
+    a_ref always holds the UNQUANTIZED table: winner routing is explicit,
+    so the backward math is decoupled from the forward's gather dtype.
+    Under int8 forward gathers the gradient is the straight-through
+    gradient (identity through the table quantization) evaluated with
+    exact values at the forward's winner selection."""
     idx = idx_ref[0]  # [TQ, k] int32
-    a_full = a_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
-    a_scale = scale_ref[0][0]  # [F]
+    win1 = win1_ref[0].astype(jnp.int32)  # [TQ, F]
+    win2 = win2_ref[0].astype(jnp.int32)  # [TQ, F]
+    a_full = a_ref[0]  # [N, F] (original dtype)
     h = h_ref[0]  # [TQ, F]
     w2 = w2_ref[:]  # [F, F]
-    b2 = b2_ref[0]  # [F]
-    x1_32 = x1_ref[0].astype(jnp.float32)  # [TQ, F]
     x2_32 = x2_ref[0].astype(jnp.float32)
     ct1 = ct1_ref[0].astype(jnp.float32)
     ct2 = ct2_ref[0].astype(jnp.float32)
 
-    f = a_full.shape[-1]
-    tqk = k * tile_q
     h32 = h.astype(jnp.float32)
-    b32 = b2.astype(jnp.float32)
-    out_dt = x1_ref.dtype
-    act_dt = h.dtype  # the original activation dtype (a's, pre-quantize)
+    act_dt = h.dtype
     one = jnp.float32(1.0)
 
     def leaky(v):
@@ -429,29 +459,24 @@ def _edge_conv_bwd_kernel(
 
     # one-hot of ALL k selections at once: [k*TQ, N]
     onehot = _kmajor_onehot(idx, n, k, tile_q, act_dt)
-    if int8_gather:
-        g = jnp.dot(onehot.astype(jnp.int8), a_full,
-                    preferred_element_type=jnp.int32)
-        g = g.astype(jnp.float32) * a_scale
-    else:
-        g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
+    g = jnp.dot(onehot, a_full, preferred_element_type=jnp.float32)
     h_rep = _kmajor_broadcast(h32, k)
     z = leaky(g + h_rep)  # [k*TQ, F], same ops as the forward
-    y = leaky(
-        jnp.dot(z.astype(w2.dtype), w2, preferred_element_type=jnp.float32)
-        + b32
-    )
 
-    take1 = _claim_first(z, x1_32, out_dt, tile_q, k)
-    take2 = _claim_first(y, x2_32, out_dt, tile_q, k)
-
-    dp = take2 * _kmajor_broadcast(ct2, k) * dleaky(y)
+    # dp is nonzero only at each channel's winner row; at the winner,
+    # y == x2 so dleaky(y) == dleaky(x2) — no y recompute needed
+    dp_tile = ct2 * dleaky(x2_32)  # [TQ, F]
+    dp = jnp.concatenate(
+        [jnp.where(win2 == j, dp_tile, 0.0) for j in range(k)], axis=0
+    )  # [k*TQ, F]
     dw2 = jax.lax.dot_general(
         z, dp, (((0,), (0,)), ((), ())),  # z^T @ dp -> [F, F]
         preferred_element_type=jnp.float32,
     )
     db2 = dp.sum(axis=0)
-    dz = take1 * _kmajor_broadcast(ct1, k) + jax.lax.dot_general(
+    dz = jnp.concatenate(
+        [jnp.where(win1 == j, ct1, 0.0) for j in range(k)], axis=0
+    ) + jax.lax.dot_general(
         dp.astype(w2.dtype), w2, (((1,), (1,)), ((), ())),  # dp @ w2^T
         preferred_element_type=jnp.float32,
     )
@@ -490,8 +515,8 @@ def _edge_conv_bwd_kernel(
 
 
 def _gather_max_from_idx_kernel(
-    idx_ref, v_ref, scale_ref, out_ref,
-    *, k: int, tile_q: int, int8_gather: bool,
+    idx_ref, v_ref, scale_ref, out_ref, *win_refs,
+    k: int, tile_q: int, int8_gather: bool, emit_winners: bool = False,
 ):
     """Forward gather-max given PRECOMPUTED neighbor indices: no score
     matmul, no k-step argmax — the k gathers run as ONE [k*TQ, N] one-hot
@@ -510,8 +535,17 @@ def _gather_max_from_idx_kernel(
         onehot = _kmajor_onehot(idx, n, k, tile_q, values.dtype)
         g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
     m = g[0:tile_q]
-    for j in range(1, k):
-        m = jnp.maximum(m, g[j * tile_q:(j + 1) * tile_q])
+    if emit_winners:
+        w = jnp.zeros(m.shape, jnp.int32)
+        for j in range(1, k):
+            gj = g[j * tile_q:(j + 1) * tile_q]
+            b = gj > m  # strict >: first j claims (torch argmax)
+            m = jnp.where(b, gj, m)
+            w = jnp.where(b, j, w)
+        win_refs[0][0] = w.astype(win_refs[0].dtype)
+    else:
+        for j in range(1, k):
+            m = jnp.maximum(m, g[j * tile_q:(j + 1) * tile_q])
     out_ref[0] = m.astype(out_ref.dtype)
 
 
@@ -609,32 +643,26 @@ def edge_conv_from_idx(
 
 
 def _gather_max_bwd_kernel(
-    idx_ref, v_ref, scale_ref, out_ref, ct_ref, dv_ref,
-    *, k: int, tile_q: int, n: int, int8_gather: bool,
+    idx_ref, win_ref, ct_ref, dv_ref,
+    *, k: int, tile_q: int, n: int,
 ):
-    """Backward of _gather_max_kernel, batched over k (see
-    _edge_conv_bwd_kernel): dvalues[n] += ct[i] where n won query i's
-    channel-wise max (first value-match claims). Under ``int8_gather``
-    v_ref holds the SAME pre-quantized table the forward consumed (see
-    _edge_conv_bwd_kernel on why an in-kernel requantize breaks the
-    claims)."""
+    """Backward of _gather_max_kernel, driven by the forward's SAVED
+    winner indices: dvalues[idx[i, win[i, f]], f] += ct[i, f]. No value
+    table, no gather recompute, no value-match claims — the whole
+    backward is ONE scatter matmul (onehot^T @ winner-masked-ct). Because
+    routing comes from explicit winners, the forward's gather dtype
+    (int8/bf16/f32) is irrelevant here."""
     idx = idx_ref[0]  # [TQ, k]
-    values = v_ref[0]  # [N, F] (pre-quantized int8 when int8_gather)
-    v_scale = scale_ref[0][0]  # [F]
-    out32 = out_ref[0].astype(jnp.float32)  # [TQ, F]
+    win = win_ref[0].astype(jnp.int32)  # [TQ, F]
     ct = ct_ref[0].astype(jnp.float32)
-    out_dt = out_ref.dtype  # the original values dtype
+    mm_dt = ct_ref.dtype  # match the forward's matmul width
 
-    onehot = _kmajor_onehot(idx, n, k, tile_q, out_dt)
-    if int8_gather:
-        g = jnp.dot(onehot.astype(jnp.int8), values,
-                    preferred_element_type=jnp.int32)
-        g = g.astype(jnp.float32) * v_scale
-    else:
-        g = jnp.dot(onehot, values, preferred_element_type=jnp.float32)
-    take = _claim_first(g, out32, out_dt, tile_q, k)
+    onehot = _kmajor_onehot(idx, n, k, tile_q, mm_dt)
+    masked = jnp.concatenate(
+        [jnp.where(win == j, ct, 0.0) for j in range(k)], axis=0
+    )  # [k*TQ, F]
     dv = jax.lax.dot_general(
-        onehot, (take * _kmajor_broadcast(ct, k)).astype(out_dt),
+        onehot, masked.astype(mm_dt),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -723,33 +751,31 @@ def _fused_edge_conv_fwd(
     x, a, h, w2, b2, k, negative_slope, tile_q, interpret, packed_select,
     int8_gather,
 ):
-    x1, x2, idx = _fused_edge_conv_fwd_impl(
+    x1, x2, idx, win1, win2 = _fused_edge_conv_fwd_impl(
         x, a, h, w2, b2, k, negative_slope, tile_q, interpret,
-        packed_select, int8_gather,
+        packed_select, int8_gather, emit_winners=True,
     )
     # zeros_like(x) residual: a free broadcast after DCE, returned as x's
     # (identically zero) cotangent — kNN indices carry no gradient
-    return (x1, x2), (idx, a, h, w2, b2, x1, x2, jnp.zeros_like(x))
+    return (x1, x2), (idx, win1, win2, a, h, w2, b2, x2, jnp.zeros_like(x))
 
 
 def _fused_edge_conv_bwd(
     k, negative_slope, tile_q, interpret, packed_select, int8_gather,
     res, cts,
 ):
-    idx, a, h, w2, b2, x1, x2, zero_x = res
+    idx, win1, win2, a, h, w2, b2, x2, zero_x = res
     ct1, ct2 = cts
     B, N, F = a.shape
     tile_q = _pick_tile(N, tile_q)
     # the backward materialises the full [k*TQ, N] one-hot (no fori_loop).
     # 6 MB budget: keeps the proven tile 128 at (k=20, N=1024, bf16)
     # [5.2 MB] while still shrinking at N>=2048 where Mosaic would fail.
-    # With int8 gathers an int8 CAST of the one-hot is also live — shrink
-    # the budget so both copies stay within the forward's envelope.
-    budget = (4 << 20) if int8_gather else (6 << 20)
+    budget = 6 << 20
     tile_q = _vmem_guard_tile(tile_q, k, N, a.dtype.itemsize, budget=budget)
     kernel = functools.partial(
         _edge_conv_bwd_kernel, k=k, tile_q=tile_q, slope=negative_slope,
-        n=N, int8_gather=int8_gather,
+        n=N,
     )
     tile_spec = lambda f: pl.BlockSpec(
         (1, tile_q, f), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -757,23 +783,20 @@ def _fused_edge_conv_bwd(
     full_spec = lambda f: pl.BlockSpec(
         (1, N, f), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
-    # the SAME quantized table the forward consumed (see kernel docstring)
-    table, scale = _table_and_scale(a, int8_gather)
+    # the UNQUANTIZED table: winner routing decouples the backward math
+    # from the forward's gather dtype (see kernel docstring)
     da, dh, dw2, db2 = pl.pallas_call(
         kernel,
         grid=(B, N // tile_q),
         in_specs=[
             pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),  # saved indices
-            full_spec(F),                      # a table (int8 when int8)
-            pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),  # dequant scale
+            tile_spec(F),                      # win1 (int8)
+            tile_spec(F),                      # win2 (int8)
+            full_spec(F),                      # a (original dtype)
             tile_spec(F),                      # h
             pl.BlockSpec((F, F), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            tile_spec(F),                      # x1
             tile_spec(F),                      # x2
             tile_spec(F),                      # ct1
             tile_spec(F),                      # ct2
@@ -793,7 +816,7 @@ def _fused_edge_conv_bwd(
             jax.ShapeDtypeStruct((1, F), jnp.float32),
         ],
         interpret=interpret,
-    )(idx, table, scale, h, w2, b2.reshape(1, F), x1, x2, ct1, ct2)
+    )(idx, win1, win2, a, h, w2, x2, ct1, ct2)
     return (
         zero_x,
         da.astype(a.dtype),
@@ -810,6 +833,7 @@ def _fused_edge_conv_fwd_impl(
     x, a, h, w2, b2, k: int, negative_slope: float,
     tile_q: int, interpret: bool, packed_select: bool = True,
     int8_gather: bool = False, deferred_gather: bool | None = None,
+    emit_winners: bool = False,
 ):
     if deferred_gather is None:
         # measured default: deferred wins for edge-conv at both widths
@@ -830,11 +854,23 @@ def _fused_edge_conv_fwd_impl(
     kernel = functools.partial(
         kern_fn, k=k, tile_q=tile_q, slope=negative_slope,
         packed_select=packed_select, int8_gather=int8_gather,
+        emit_winners=emit_winners,
     )
     out_sds = jax.ShapeDtypeStruct((B, N, F), a.dtype)
     # selection indices [B, N, k] (consumed by the backward)
     idx_sds = jax.ShapeDtypeStruct((B, N, k), jnp.int32)
     b2_2d = b2.reshape(1, F)
+    tile_f = lambda f: pl.BlockSpec(
+        (1, tile_q, f), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [tile_f(F), tile_f(F), tile_f(k)]
+    out_shape = [out_sds, out_sds, idx_sds]
+    if emit_winners:
+        # max-winner k-positions per output channel (consumed by the
+        # backward; int8 is plenty for k <= 127)
+        win_sds = jax.ShapeDtypeStruct((B, N, F), jnp.int8)
+        out_specs += [tile_f(F), tile_f(F)]
+        out_shape += [win_sds, win_sds]
     # int8 tables are quantized ONCE here (not per grid step in-kernel)
     table, scale = _table_and_scale(a, int8_gather)
     return pl.pallas_call(
@@ -858,15 +894,8 @@ def _fused_edge_conv_fwd_impl(
             pl.BlockSpec((1, F), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[out_sds, out_sds, idx_sds],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x, x, _norms(x), table, scale, h, w2, b2_2d)
 
@@ -903,53 +932,55 @@ def _fused_gather_max_vjp(
 def _fused_gather_max_fwd(
     x, values, k, tile_q, interpret, packed_select, int8_gather
 ):
-    out, idx = _fused_gather_max_impl(
-        x, values, k, tile_q, interpret, packed_select, int8_gather
+    out, idx, win = _fused_gather_max_impl(
+        x, values, k, tile_q, interpret, packed_select, int8_gather,
+        emit_winners=True,
     )
-    return (out, idx), (idx, values, out, jnp.zeros_like(x))
+    return (out, idx), (idx, win, values, jnp.zeros_like(x))
 
 
-def _fused_gather_max_bwd(
-    k, tile_q, interpret, packed_select, int8_gather, res, cts
-):
-    ct = cts[0]  # the idx output is int32 -> float0 cotangent, unused
-    idx, values, out, zero_x = res
+def _gather_max_bwd_from_winners(idx, win, values, ct, tile_q, interpret):
+    """Shared winner-driven gather-max backward: dv[idx[i, win[i,f]], f]
+    += ct[i, f] as one scatter matmul (no value table needed — `values`
+    only supplies the output shape/dtype)."""
     B, N, F = values.shape
+    k = idx.shape[-1]
     tile_q = _pick_tile(N, tile_q)
-    # the backward materialises the full [k*TQ, N] one-hot (no fori_loop);
-    # 6 MB budget — see _fused_edge_conv_bwd (4 MB with the int8 cast copy)
-    budget = (4 << 20) if int8_gather else (6 << 20)
+    # the backward materialises the full [k*TQ, N] one-hot (no fori_loop)
     tile_q = _vmem_guard_tile(
-        tile_q, k, N, values.dtype.itemsize, budget=budget
+        tile_q, k, N, ct.dtype.itemsize, budget=6 << 20
     )
     kernel = functools.partial(
         _gather_max_bwd_kernel, k=k, tile_q=tile_q, n=N,
-        int8_gather=int8_gather,
     )
-    # the SAME quantized table the forward consumed (see kernel docstring)
-    table, scale = _table_and_scale(values, int8_gather)
     dv = pl.pallas_call(
         kernel,
         grid=(B, N // tile_q),
         in_specs=[
             pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),  # saved indices
-            pl.BlockSpec((1, N, F), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),  # dequant scale
             pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),  # winners (int8)
             pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),  # cotangent
         ],
         out_specs=pl.BlockSpec(
             (1, N, F), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
         interpret=interpret,
-    )(idx, table, scale, out, ct)
-    return zero_x, dv.astype(values.dtype)
+    )(idx, win, ct)
+    return dv.astype(values.dtype)
+
+
+def _fused_gather_max_bwd(
+    k, tile_q, interpret, packed_select, int8_gather, res, cts
+):
+    ct = cts[0]  # the idx output is int32 -> float0 cotangent, unused
+    idx, win, values, zero_x = res
+    dv = _gather_max_bwd_from_winners(idx, win, values, ct, tile_q,
+                                      interpret)
+    return zero_x, dv
 
 
 _fused_gather_max_vjp.defvjp(_fused_gather_max_fwd, _fused_gather_max_bwd)
@@ -979,22 +1010,19 @@ def _gather_max_from_idx_vjp(idx, values, tile_q, interpret, int8_gather):
 
 
 def _gather_max_from_idx_fwd(idx, values, tile_q, interpret, int8_gather):
-    out = _gather_max_from_idx_impl(
-        idx, values, tile_q, interpret, int8_gather
+    out, win = _gather_max_from_idx_impl(
+        idx, values, tile_q, interpret, int8_gather, emit_winners=True,
     )
-    return out, (idx, values, out)
+    return out, (idx, win, values)
 
 
 def _gather_max_from_idx_bwd(tile_q, interpret, int8_gather, res, ct):
     import numpy as np
 
-    idx, values, out = res
-    # same VJP as fused_knn_gather_max, driven by the saved indices
-    _, dv = _fused_gather_max_bwd(
-        idx.shape[-1], tile_q, interpret, True, int8_gather,
-        (idx, values, out, jnp.zeros(idx.shape[:2] + (1,), values.dtype)),
-        (ct, None),
-    )
+    idx, win, values = res
+    # same winner-driven VJP as fused_knn_gather_max
+    dv = _gather_max_bwd_from_winners(idx, win, values, ct, tile_q,
+                                      interpret)
     # integer primal -> float0 cotangent
     return np.zeros(idx.shape, jax.dtypes.float0), dv
 
@@ -1005,7 +1033,8 @@ _gather_max_from_idx_vjp.defvjp(
 
 
 def _gather_max_from_idx_impl(
-    idx, values, tile_q, interpret, int8_gather: bool = False
+    idx, values, tile_q, interpret, int8_gather: bool = False,
+    emit_winners: bool = False,
 ):
     B, N, k = idx.shape
     F = values.shape[-1]
@@ -1017,8 +1046,16 @@ def _gather_max_from_idx_impl(
     )
     kernel = functools.partial(
         _gather_max_from_idx_kernel, k=k, tile_q=tile_q,
-        int8_gather=int8_gather,
+        int8_gather=int8_gather, emit_winners=emit_winners,
     )
+    tile_f = lambda f: pl.BlockSpec(
+        (1, tile_q, f), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = tile_f(F)
+    out_shape = jax.ShapeDtypeStruct((B, N, F), values.dtype)
+    if emit_winners:
+        out_specs = [out_specs, tile_f(F)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((B, N, F), jnp.int8)]
     table, scale = _table_and_scale(values, int8_gather)
     return pl.pallas_call(
         kernel,
@@ -1031,10 +1068,8 @@ def _gather_max_from_idx_impl(
             pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile_q, F), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, N, F), values.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(idx, table, scale)
 
@@ -1042,7 +1077,7 @@ def _gather_max_from_idx_impl(
 def _fused_gather_max_impl(
     x, values, k: int, tile_q: int, interpret: bool,
     packed_select: bool = True, int8_gather: bool = False,
-    deferred_gather: bool | None = None,
+    deferred_gather: bool | None = None, emit_winners: bool = False,
 ):
     if deferred_gather is None:
         # measured default: deferred wins at int8 width, loses at bf16
@@ -1063,8 +1098,17 @@ def _fused_gather_max_impl(
     kernel = functools.partial(
         kern_fn, k=k, tile_q=tile_q,
         packed_select=packed_select, int8_gather=int8_gather,
+        emit_winners=emit_winners,
     )
     idx_sds = jax.ShapeDtypeStruct((B, N, k), jnp.int32)
+    tile_f = lambda f: pl.BlockSpec(
+        (1, tile_q, f), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [tile_f(F), tile_f(k)]
+    out_shape = [jax.ShapeDtypeStruct((B, N, F), values.dtype), idx_sds]
+    if emit_winners:
+        out_specs.append(tile_f(F))
+        out_shape.append(jax.ShapeDtypeStruct((B, N, F), jnp.int8))
     table, scale = _table_and_scale(values, int8_gather)
     return pl.pallas_call(
         kernel,
@@ -1081,15 +1125,7 @@ def _fused_gather_max_impl(
             pl.BlockSpec((1, 1, F), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile_q, F), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, N, F), values.dtype),
-            idx_sds,
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x, x, _norms(x), table, scale)
