@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 # never attempt the ModelNet40 auto-download from tests (zero-egress box)
 os.environ.setdefault("VCRNET_OFFLINE", "1")
+# CLI-path tests run on CPU; the fail-fast TPU probe would waste 60 s per
+# invocation probing a tunnel the tests never use
+os.environ.setdefault("VCRNET_SKIP_TPU_PROBE", "1")
 
 import jax  # noqa: E402
 

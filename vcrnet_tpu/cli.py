@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["identity", "transformer"])
     p.add_argument("--head", type=str, default="svd", choices=["mlp", "svd"])
     # TPU-specific
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu"],
+                   help="force a jax backend: 'cpu' escapes a wedged TPU "
+                        "tunnel; default uses whatever jax picks")
+    p.add_argument("--tpu_probe_timeout", type=float, default=60.0,
+                   help="seconds before a TPU-responsiveness probe declares "
+                        "the backend wedged and exits (0 disables the probe)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--mesh_shape", type=int, default=None)
@@ -119,6 +126,22 @@ def main(argv=None):
     # tunnel backend it can block for a long round-trip, or hang outright
     # during an outage)
     args = build_parser().parse_args(argv)
+
+    if args.platform:
+        # env vars are not enough in this container (sitecustomize
+        # force-registers the tunnel TPU platform); the config update
+        # after import is the reliable escape hatch.
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.platform != "cpu" and args.tpu_probe_timeout > 0:
+        # Fail fast instead of hanging when the tunnel TPU is wedged —
+        # jax.default_backend() below would otherwise block indefinitely.
+        from vcrnet_tpu.utils.tpu_probe import TPUUnresponsiveError, probe_tpu
+
+        try:
+            probe_tpu(timeout_s=args.tpu_probe_timeout)
+        except TPUUnresponsiveError as e:
+            raise SystemExit(f"FATAL: {e}")
 
     try:
         if jax.default_backend() == "tpu":

@@ -33,7 +33,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vcrnet_tpu.ops import graph as _g
 from vcrnet_tpu.geometry import _svd_rotation
@@ -296,7 +296,7 @@ def register_flagship_sp(
             P(batch_axis, None, None), P(batch_axis, None, None),
             P(batch_axis, None, None), P(batch_axis, None),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     def f(pp_in, se_l, te_l, src_l, tgt_l):
         src_delta, tgt_delta = _pointer_local(
@@ -369,7 +369,7 @@ def pointer_sp(
         shard_map, mesh=mesh,
         in_specs=(P(), ps, ps),
         out_specs=(ps, ps),
-        check_rep=False,
+        check_vma=False,
     )
     def f(pp_in, se_l, te_l):
         return _pointer_local(

@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vcrnet_tpu.ops import graph as _g
 from vcrnet_tpu.geometry import _svd_rotation
@@ -161,7 +161,7 @@ def register_whole_sp(
         shard_map, mesh=mesh,
         in_specs=(ps, ps, ps, ps),
         out_specs=(ps, P(batch_axis, None, None), P(batch_axis, None)),
-        check_rep=False,  # psum'd outputs are replicated by construction
+        check_vma=False,  # psum'd outputs are replicated by construction
     )
     def f(se_l, te_l, src_l, tgt_l):
         te_full = jax.lax.all_gather(te_l, "data", axis=1, tiled=True)
