@@ -1,30 +1,44 @@
 #!/usr/bin/env python
-"""Benchmark: ModelNet40 registration pairs/sec on the flagship VCR-Net,
-covering the reference's THREE eval protocols (README.md:25-41):
+"""Benchmark: every driver-named baseline config (BASELINE.json "configs"),
+measured on device with CHAINED-SCAN differencing:
 
-  whole_iter1    whole-whole, single forward      (reference test default)
-  whole_iter3    whole-whole, --iter 3 refinement (paper protocol)
-  partial_iter3  part-part, --overlap 0.575 --iter 3
+  whole_iter1    VCR-Net whole-whole eval, single forward (reference default)
+  whole_iter3    VCR-Net whole-whole eval, --iter 3 refinement
+  partial_iter3  VCR-Net part-part eval, --overlap 0.575 --iter 3
+  vcrnet_train   VCR-Net TRAIN step (fwd + bwd + Adam, state kept live)
+  lpd_pretrain   LPD-Net pre-train step (triplet loss, batch 16 — README.md:25)
+  dcp_eval       DCP-style pipeline eval (DGCNN + transformer + SVD head)
+  icp_eval       classical batched ICP eval (lax.while_loop, max_iter 50)
 
-All on the full model (LPDNet embedding + transformer pointer + topK VCP +
-SVD solve, N=1024, emb_dims=512 — the reference's default config), fast TPU
-profile (bf16 MXU matmuls, fused Pallas kernels, flash attention; accuracy
-parity vs exact f32 validated in tests/test_fastpath.py and
-benchmarks/parity_report.py). Refinement caches the three iteration-
-invariant quantities (target embedding, target encoder memory, source
-spatial-kNN selection — see vcrnet_iter; tests/test_models.py proves the
-cached path equals the naive one).
+All VCR-Net numbers are the full model (LPDNet embedding + transformer
+pointer + topK VCP + SVD solve, N=1024, emb_dims=512 — the reference's
+default config), fast TPU profile (bf16 MXU matmuls, fused Pallas kernels,
+flash attention; accuracy parity vs exact f32 validated in
+tests/test_fastpath.py and benchmarks/parity_report.py).
+
+Each config also carries an MFU estimate: analytic FLOPs from XLA cost
+analysis (differenced across the two chained-scan lengths, so fixed
+overhead cancels) divided by measured step time and the chip's peak bf16
+FLOP/s (device_kind table; override with VCRNET_PEAK_BF16_FLOPS).
 
 ``python bench.py --accuracy`` instead prints a per-protocol rot/trans
 RMSE table (fast profile vs exact-f32, pretrained embedding, deterministic
 synthetic eval set) so throughput claims carry their accuracy.
 
 Prints ONE JSON line. Headline value = whole_iter1 pairs/s/chip (the
-reference's test default); per-protocol numbers in "configs". The driver
-north star is >=5,000 pairs/sec on a v5e-8 at reference RMSE, i.e. 625
-pairs/sec/chip; eval data parallelism has no cross-batch coupling, so
-per-chip is the honest unit (multi-chip sharding is validated separately by
-the driver's dryrun_multichip).
+reference's test default); per-config numbers in "configs". The driver
+north star is >=5,000 eval pairs/sec on a v5e-8 at reference RMSE, i.e.
+625 pairs/sec/chip; eval data parallelism has no cross-batch coupling, so
+per-chip is the honest unit (multi-chip sharding is validated separately
+by the driver's dryrun_multichip).
+
+Timing note: on this tunnel-backed platform a host fetch costs ~30 ms RTT
+and ``block_until_ready`` does not reliably wait, so per-call timing
+overstates step time by the RTT; running T steps inside one jit (each
+step's input perturbed by the previous step's output so nothing is elided)
+and differencing two T values cancels it. Train harnesses MUST keep the
+updated state live in the scan output — returning only losses[-1] lets XLA
+dead-code-eliminate the backward+optimizer at T=1 (see CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -42,7 +56,11 @@ import jax as _jax
 _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-NORTH_STAR = 625.0  # pairs/s/chip
+NORTH_STAR = 625.0  # eval pairs/s/chip
+
+# eval protocols count toward the north star; the others are reported with
+# MFU only (the north star is an eval-throughput target)
+_EVAL_CONFIGS = ("whole_iter1", "whole_iter3", "partial_iter3")
 
 
 def _reuse_knob() -> dict:
@@ -72,9 +90,96 @@ def _subsample_knob() -> dict:
     return {"refine_subsample": int(v) if v.isdigit() else 0}
 
 
-def _model_and_inputs(batch: int, partial: bool, n_iter: int):
+def _peak_bf16_flops():
+    """Per-chip peak bf16 FLOP/s for the MFU denominator, from device_kind.
+    Returns None when unknown (MFU omitted rather than guessed)."""
     import os
 
+    env = os.environ.get("VCRNET_PEAK_BF16_FLOPS", "").strip()
+    if env:
+        return float(env)
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    if "v6" in kind:
+        return 918e12
+    if "v5e" in kind or "v5 lite" in kind or "v5litepod" in kind:
+        return 197e12
+    if "v5" in kind:  # v5p
+        return 459e12
+    if "v4" in kind:
+        return 275e12
+    return None
+
+
+def _flops_of(jitted_fn, *args):
+    """Analytic FLOPs of one call via XLA cost analysis; None if unavailable
+    (e.g. data-dependent while_loops make the count meaningless)."""
+    try:
+        lowered = jitted_fn.lower(*args)
+        ca = None
+        try:
+            ca = lowered.cost_analysis()
+        except Exception:
+            pass
+        if not ca:
+            ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _time_chained(make_chained, arg, t_short, t_long, reps: int = 5):
+    """Compile chained(T) for two scan lengths, time both, return
+    (seconds_per_step, flops_per_step_or_None) from the T-differences.
+
+    ``make_chained(T)`` must return a JITTED function of ``arg`` whose
+    output keeps all per-step work live (no DCE-able tails)."""
+    import jax
+
+    fns = {}
+    for T in (t_short, t_long):
+        fns[T] = make_chained(T)
+        jax.tree_util.tree_map(np.asarray, fns[T](arg))  # compile + warm
+    deltas = []
+    for _ in range(reps):
+        timed = {}
+        for T in (t_short, t_long):
+            t0 = time.perf_counter()
+            jax.tree_util.tree_map(np.asarray, fns[T](arg))
+            timed[T] = time.perf_counter() - t0
+        deltas.append((timed[t_long] - timed[t_short]) / (t_long - t_short))
+    dt = float(np.median(deltas))
+    if dt <= 0:  # tunnel noise swamped the differencing; retry signal
+        raise RuntimeError(f"non-positive step delta {dt}")
+
+    f_long = _flops_of(fns[t_long], arg)
+    f_short = _flops_of(fns[t_short], arg)
+    flops = None
+    if f_long and f_short and f_long > f_short:
+        flops = (f_long - f_short) / (t_long - t_short)
+    return dt, flops
+
+
+def _result_row(batch: int, dt: float, flops_per_step) -> dict:
+    row = {"pairs_per_sec_per_chip": round(batch / dt, 2)}
+    peak = _peak_bf16_flops()
+    if flops_per_step and peak:
+        row["mfu"] = round(flops_per_step / dt / peak, 4)
+        row["tflops_per_step"] = round(flops_per_step / 1e12, 4)
+    return row
+
+
+_FAILED_ROW = {"pairs_per_sec_per_chip": 0.0}
+
+
+def _model_and_inputs(batch: int, partial: bool, n_iter: int):
     import jax
     from vcrnet_tpu.config import Config
     from vcrnet_tpu.models import VCRNet
@@ -100,18 +205,9 @@ def _model_and_inputs(batch: int, partial: bool, n_iter: int):
 def bench_protocol(
     batch: int, partial: bool, n_iter: int, t_short: int = 2,
     t_long: int = 8, reps: int = 5,
-) -> float:
-    """Per-batch eval step time via CHAINED-SCAN differencing: run the
-    protocol T times inside one jit (each step's source perturbed by the
-    previous step's output so nothing is elided), time T_long and T_short,
-    and report (T_long - T_short) steps' delta. On this tunnel-backed
-    platform a host fetch costs ~30 ms RTT and ``block_until_ready`` does
-    not reliably wait, so per-call timing overstates step time by the RTT;
-    differencing cancels it. This is the number a pipelined eval loop
-    (train/engine.py prefetches and never syncs per batch) actually sees.
-    """
+) -> dict:
+    """One VCR-Net EVAL protocol config: pairs/s/chip + MFU."""
     import jax
-    import jax.numpy as jnp
     from vcrnet_tpu.models.vcrnet import vcrnet_iter
 
     model, variables, src, tgt = _model_and_inputs(batch, partial, n_iter)
@@ -125,42 +221,168 @@ def bench_protocol(
         )
     src_d, tgt_d = jax.device_put(src), jax.device_put(tgt)
 
-    def chained(s0, n_steps):
-        def body(s, _):
-            out = fwd(variables, s, tgt_d)
-            # data-dependent perturbation keeps steps sequential under jit
-            return s + 1e-9 * out[3][:, None, :], out[3].ravel()[0]
+    def make_chained(T):
+        def chained(s0):
+            def body(s, _):
+                out = fwd(variables, s, tgt_d)
+                # data-dependent perturbation keeps steps sequential
+                return s + 1e-9 * out[3][:, None, :], out[3].ravel()[0]
 
-        s, _ = jax.lax.scan(body, s0, None, length=n_steps)
-        return s.ravel()[0]
+            s, _ = jax.lax.scan(body, s0, None, length=T)
+            return s.ravel()[0]
 
-    fns = {}
-    for T in (t_short, t_long):
-        fns[T] = jax.jit(lambda s, TT=T: chained(s, TT))
-        np.asarray(fns[T](src_d))  # compile + warm
-    deltas = []
-    for _ in range(reps):
-        timed = {}
-        for T in (t_short, t_long):
-            t0 = time.perf_counter()
-            np.asarray(fns[T](src_d))
-            timed[T] = time.perf_counter() - t0
-        deltas.append((timed[t_long] - timed[t_short]) / (t_long - t_short))
-    dt = float(np.median(deltas))
-    if dt <= 0:  # tunnel noise swamped the differencing; retry signal
-        raise RuntimeError(f"non-positive step delta {dt}")
-    return batch / dt
+        return jax.jit(chained)
+
+    dt, flops = _time_chained(make_chained, src_d, t_short, t_long, reps)
+    return _result_row(batch, dt, flops)
 
 
-def _best_over_batches(partial: bool, n_iter: int, batches) -> float:
-    best = 0.0
+def _synth_train_batch(batch: int, n: int):
+    rng = np.random.RandomState(0)
+    eye = np.tile(np.eye(3, dtype=np.float32), (batch, 1, 1))
+    zeros = np.zeros((batch, 3), np.float32)
+    return {
+        "src": rng.rand(batch, n, 3).astype(np.float32) - 0.5,
+        "tgt": rng.rand(batch, n, 3).astype(np.float32) - 0.5,
+        "R_ab": eye, "t_ab": zeros, "R_ba": eye, "t_ba": zeros,
+        "euler_ab": zeros, "euler_ba": zeros,
+        "valid": np.ones(batch, np.float32),
+    }
+
+
+def _bench_train_family(cfg, batch: int, reps: int = 5) -> dict:
+    """Shared harness for the trainable configs (vcrnet train / lpd / dcp
+    train steps): chained full train steps with the UPDATED STATE live in
+    the output (see module docstring on the T=1 DCE artifact)."""
+    import jax
+    from vcrnet_tpu.train import Trainer
+
+    trainer = Trainer(cfg)
+    host = _synth_train_batch(batch, cfg.n_cropped)
+    state = trainer.init_state(jax.random.PRNGKey(0), host)
+    dev = trainer._to_device(host)
+
+    def make_chained(T):
+        def chained(s0):
+            def body(s, _):
+                s2, sums = trainer._train_step_impl(s, dev)
+                return s2, sums["loss"]
+
+            s, losses = jax.lax.scan(body, s0, None, length=T)
+            leaf = jax.tree_util.tree_leaves(s.params)[0]
+            return losses[-1], leaf.ravel()[0]
+
+        return jax.jit(chained)
+
+    dt, flops = _time_chained(make_chained, state, 1, 5, reps)
+    return _result_row(batch, dt, flops)
+
+
+def bench_vcrnet_train(batch: int = 64) -> dict:
+    from vcrnet_tpu.config import Config
+
+    cfg = Config(
+        num_points=1024, emb_dims=512, batch_size=batch,
+        compute_dtype="bfloat16",
+    )
+    return _bench_train_family(cfg, batch)
+
+
+def bench_lpd_pretrain(batch: int = 16) -> dict:
+    """LPD-Net pre-train step at the reference recipe's batch 16
+    (README.md:25-27)."""
+    from vcrnet_tpu.config import Config
+
+    cfg = Config(
+        model="lpd", num_points=1024, emb_dims=512, batch_size=batch,
+        compute_dtype="bfloat16",
+    )
+    return _bench_train_family(cfg, batch)
+
+
+def bench_dcp_eval(batch: int = 64, reps: int = 5) -> dict:
+    """DCP-style pipeline eval (DGCNN + transformer + SVD head)."""
+    import jax
+    from vcrnet_tpu.config import Config
+    from vcrnet_tpu.models import DCP
+
+    cfg = Config(
+        model="dcp", emb_nn="dgcnn", num_points=1024, emb_dims=512,
+        compute_dtype="bfloat16",
+    )
+    model = DCP(cfg=cfg)
+    rng = np.random.RandomState(0)
+    src = rng.rand(batch, cfg.num_points, 3).astype(np.float32) - 0.5
+    tgt = rng.rand(batch, cfg.num_points, 3).astype(np.float32) - 0.5
+    variables = model.init(jax.random.PRNGKey(0), src[:1], tgt[:1])
+    src_d, tgt_d = jax.device_put(src), jax.device_put(tgt)
+
+    def make_chained(T):
+        def chained(s0):
+            def body(s, _):
+                out = model.apply(variables, s, tgt_d)
+                t_ab = out[1]
+                return s + 1e-9 * t_ab[:, None, :], t_ab.ravel()[0]
+
+            s, _ = jax.lax.scan(body, s0, None, length=T)
+            return s.ravel()[0]
+
+        return jax.jit(chained)
+
+    dt, flops = _time_chained(make_chained, src_d, 2, 8, reps)
+    return _result_row(batch, dt, flops)
+
+
+def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
+    """Classical batched ICP eval (max_iterations=50, tolerance break).
+    MFU is usually omitted here: the data-dependent while_loop makes the
+    static FLOP count meaningless."""
+    import jax
+    import jax.numpy as jnp
+    from vcrnet_tpu import geometry
+    from vcrnet_tpu.models.icp import icp_register
+
+    n = 1024
+    rng = np.random.RandomState(0)
+    src = rng.rand(batch, n, 3).astype(np.float32) - 0.5
+    # a real small misalignment so the while_loop does representative work
+    ang = 0.2
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0.0],
+         [np.sin(ang), np.cos(ang), 0.0],
+         [0.0, 0.0, 1.0]], np.float32,
+    )
+    tgt = src @ R.T + np.float32([0.05, -0.03, 0.02])
+    src_d, tgt_d = jax.device_put(src), jax.device_put(jnp.asarray(tgt))
+
+    def make_chained(T):
+        def chained(s0):
+            def body(s, _):
+                out = icp_register(s, tgt_d, max_iterations=50)
+                t_ab = out[3]
+                return s + 1e-9 * t_ab[:, None, :], t_ab.ravel()[0]
+
+            s, _ = jax.lax.scan(body, s0, None, length=T)
+            return s.ravel()[0]
+
+        return jax.jit(chained)
+
+    dt, flops = _time_chained(make_chained, src_d, 1, 3, reps)
+    return _result_row(batch, dt, flops)
+
+
+def _best_over_batches(partial: bool, n_iter: int, batches) -> dict:
+    best = dict(_FAILED_ROW)
     for batch in batches:
         ok = False
         for _attempt in range(2):  # tunnel hiccups happen; retry once
             try:
-                best = max(
-                    best, bench_protocol(batch, partial, n_iter)
-                )
+                row = bench_protocol(batch, partial, n_iter)
+                if (
+                    row["pairs_per_sec_per_chip"]
+                    > best["pairs_per_sec_per_chip"]
+                ):
+                    best = row
                 ok = True
                 break
             except Exception:
@@ -170,6 +392,15 @@ def _best_over_batches(partial: bool, n_iter: int, batches) -> float:
             # better at larger sizes — stop sweeping, keep what we have
             break
     return best
+
+
+def _try_config(fn, *args) -> dict:
+    for _attempt in range(2):
+        try:
+            return fn(*args)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+    return dict(_FAILED_ROW)
 
 
 def accuracy_report(n_items: int = 96) -> dict:
@@ -311,26 +542,34 @@ def main():
     configs["whole_iter1"] = _best_over_batches(
         False, 1, (64, 128, 256, 512)
     )
-    if configs["whole_iter1"] == 0.0:
+    if configs["whole_iter1"]["pairs_per_sec_per_chip"] == 0.0:
         # the headline config failed outright — fail fast rather than
         # spending many more tunnel-TPU minutes on the other protocols
         raise RuntimeError("headline configuration (whole_iter1) failed")
     configs["whole_iter3"] = _best_over_batches(False, 3, (64, 128, 256))
     configs["partial_iter3"] = _best_over_batches(True, 3, (64, 128, 256))
-    failed = sorted(k for k, v in configs.items() if v == 0.0)
-    value = configs["whole_iter1"]
+    # the remaining driver-named baseline configs, one batch size each to
+    # bound tunnel time (VERDICT r2 weak#1: "if it isn't in BENCH_r*.json,
+    # it isn't evidence")
+    configs["vcrnet_train"] = _try_config(bench_vcrnet_train)
+    configs["lpd_pretrain"] = _try_config(bench_lpd_pretrain)
+    configs["dcp_eval"] = _try_config(bench_dcp_eval)
+    configs["icp_eval"] = _try_config(bench_icp_eval)
+
+    for name in _EVAL_CONFIGS:
+        configs[name]["vs_baseline"] = round(
+            configs[name]["pairs_per_sec_per_chip"] / NORTH_STAR, 4
+        )
+    failed = sorted(
+        k for k, v in configs.items() if v["pairs_per_sec_per_chip"] == 0.0
+    )
+    value = configs["whole_iter1"]["pairs_per_sec_per_chip"]
     result = {
         "metric": "modelnet40_vcrnet_eval_pairs_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / NORTH_STAR, 4),
-        "configs": {
-            k: {
-                "pairs_per_sec_per_chip": round(v, 2),
-                "vs_baseline": round(v / NORTH_STAR, 4),
-            }
-            for k, v in configs.items()
-        },
+        "configs": configs,
     }
     if failed:
         # make partial failures visible instead of reporting a silent 0.0

@@ -29,6 +29,10 @@ def test_probe_retries_inside_window_then_raises(monkeypatch):
     import subprocess
     import time
 
+    # conftest sets this to keep the suite off the tunnel; the probe's
+    # retry logic is exactly what's under test here, so re-enable it
+    monkeypatch.delenv("VCRNET_SKIP_TPU_PROBE", raising=False)
+
     attempts = {"n": 0}
     sleeps = []
 
@@ -94,11 +98,12 @@ def test_best_over_batches_stops_after_failed_batch(monkeypatch):
         calls.append(batch)
         if batch >= 128:
             raise RuntimeError("OOM")
-        return 100.0 + batch
+        return {"pairs_per_sec_per_chip": 100.0 + batch, "mfu": 0.1}
 
     monkeypatch.setattr(bench, "bench_protocol", fake_protocol)
     best = bench._best_over_batches(False, 1, (64, 128, 256, 512))
-    assert best == 164.0
+    assert best["pairs_per_sec_per_chip"] == 164.0
+    assert best["mfu"] == 0.1
     # 128 was attempted twice (retry), then the sweep stopped — 256/512
     # were never tried (an OOM does not improve at larger batches)
     assert calls == [64, 128, 128]
@@ -108,17 +113,44 @@ def test_main_emits_failed_configs_field(monkeypatch, capsys):
     def fake_protocol(batch, partial, n_iter, **kw):
         if partial:
             raise RuntimeError("tunnel hiccup")
-        return 1000.0
+        return {"pairs_per_sec_per_chip": 1000.0, "mfu": 0.25}
 
     monkeypatch.setattr(bench, "bench_protocol", fake_protocol)
+    # the non-protocol baseline configs are mocked too (no TPU in tests)
+    monkeypatch.setattr(
+        bench, "bench_vcrnet_train",
+        lambda: {"pairs_per_sec_per_chip": 400.0, "mfu": 0.3},
+    )
+    monkeypatch.setattr(
+        bench, "bench_lpd_pretrain",
+        lambda: {"pairs_per_sec_per_chip": 300.0},
+    )
+    monkeypatch.setattr(
+        bench, "bench_dcp_eval",
+        lambda: {"pairs_per_sec_per_chip": 2000.0},
+    )
+    monkeypatch.setattr(
+        bench, "bench_icp_eval",
+        lambda: (_ for _ in ()).throw(RuntimeError("hiccup")),
+    )
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1  # exactly ONE JSON line
     payload = json.loads(out[0])
     assert payload["value"] == 1000.0
     assert payload["vs_baseline"] == pytest.approx(1000.0 / 625.0)
-    assert payload["failed_configs"] == ["partial_iter3"]
+    assert payload["failed_configs"] == ["icp_eval", "partial_iter3"]
     assert payload["configs"]["partial_iter3"]["pairs_per_sec_per_chip"] == 0.0
+    # every driver-named baseline config is present in the JSON
+    for name in (
+        "whole_iter1", "whole_iter3", "partial_iter3",
+        "vcrnet_train", "lpd_pretrain", "dcp_eval", "icp_eval",
+    ):
+        assert name in payload["configs"], name
+    # eval protocols carry vs_baseline; train configs don't claim it
+    assert payload["configs"]["whole_iter1"]["vs_baseline"] == pytest.approx(1.6)
+    assert "vs_baseline" not in payload["configs"]["vcrnet_train"]
+    assert payload["configs"]["whole_iter1"]["mfu"] == 0.25
 
 
 def test_main_fails_fast_when_headline_fails(monkeypatch):
