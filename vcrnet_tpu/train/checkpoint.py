@@ -232,11 +232,11 @@ def load_t7_vcrnet(path: str, n_blocks: int = 1) -> dict:
     return convert_vcrnet_state_dict(sd, n_blocks=n_blocks)
 
 
-def export_lpdnet_t7(params_emb: dict, path: str) -> str:
-    """Reverse conversion: our LPDNet param tree -> a reference-layout torch
-    state dict saved with torch.save (round-trips with load_t7_lpdnet)."""
-    import torch
-
+def export_lpdnet_state_dict(
+    params_emb: dict, prefix: str = "emb_nn."
+) -> dict:
+    """Reverse conversion: our LPDNet param tree -> a reference-layout
+    numpy state dict (round-trips with convert_lpdnet_state_dict)."""
     sd = {}
     for torch_key, flax_name in _LPDNET_KEYS.items():
         if flax_name not in params_emb:
@@ -247,11 +247,78 @@ def export_lpdnet_t7(params_emb: dict, path: str) -> str:
             w = w[:, :, None, None]
         else:  # Conv1d layers
             w = w[:, :, None]
-        sd[f"emb_nn.{torch_key}.weight"] = torch.tensor(np.ascontiguousarray(w))
+        sd[f"{prefix}{torch_key}.weight"] = np.ascontiguousarray(w)
         if "bias" in params_emb[flax_name]:
-            sd[f"emb_nn.{torch_key}.bias"] = torch.tensor(
-                np.asarray(params_emb[flax_name]["bias"])
+            sd[f"{prefix}{torch_key}.bias"] = np.asarray(
+                params_emb[flax_name]["bias"]
             )
+    return sd
+
+
+def export_transformer_state_dict(
+    params_pointer: dict, n_blocks: int = 1, prefix: str = "pointer.model."
+) -> dict:
+    """Reverse conversion: our TransformerPointer param tree -> the
+    reference's exact state_dict key layout (numpy values; inverse of
+    convert_transformer_state_dict). Lets a trained JAX checkpoint run
+    through a torch mirror of the reference for end-task parity checks."""
+    qkvo = ["linear_q", "linear_k", "linear_v", "linear_out"]
+    sd: dict = {}
+
+    def put_linear(torch_key: str, leaf: dict) -> None:
+        sd[f"{torch_key}.weight"] = np.ascontiguousarray(
+            np.asarray(leaf["kernel"]).T
+        )
+        if "bias" in leaf:
+            sd[f"{torch_key}.bias"] = np.asarray(leaf["bias"])
+
+    def put_norm(torch_key: str, leaf: dict) -> None:
+        sd[f"{torch_key}.a_2"] = np.asarray(leaf["a_2"])
+        sd[f"{torch_key}.b_2"] = np.asarray(leaf["b_2"])
+
+    for i in range(n_blocks):
+        enc_p = params_pointer[f"enc_layers_{i}"]
+        enc = f"{prefix}encoder.layers.{i}."
+        for j, name in enumerate(qkvo):
+            put_linear(f"{enc}self_attn.linears.{j}", enc_p["self_attn"][name])
+        put_norm(f"{enc}sublayer.0.norm", enc_p["norm0"])
+        put_norm(f"{enc}sublayer.1.norm", enc_p["norm1"])
+        put_linear(f"{enc}feed_forward.w_1", enc_p["ff"]["w_1"])
+        put_linear(f"{enc}feed_forward.w_2", enc_p["ff"]["w_2"])
+
+        dec_p = params_pointer[f"dec_layers_{i}"]
+        dec = f"{prefix}decoder.layers.{i}."
+        for j, name in enumerate(qkvo):
+            put_linear(f"{dec}self_attn.linears.{j}", dec_p["self_attn"][name])
+            put_linear(f"{dec}src_attn.linears.{j}", dec_p["src_attn"][name])
+        for j in range(3):
+            put_norm(f"{dec}sublayer.{j}.norm", dec_p[f"norm{j}"])
+        put_linear(f"{dec}feed_forward.w_1", dec_p["ff"]["w_1"])
+        put_linear(f"{dec}feed_forward.w_2", dec_p["ff"]["w_2"])
+
+    put_norm(f"{prefix}encoder.norm", params_pointer["enc_norm"])
+    put_norm(f"{prefix}decoder.norm", params_pointer["dec_norm"])
+    return sd
+
+
+def export_vcrnet_state_dict(params: dict, n_blocks: int = 1) -> dict:
+    """Our full VCRNet param tree -> reference-layout numpy state dict
+    (LPDNet embedding + transformer pointer — the trainable surface of the
+    flagship config; inverse of convert_vcrnet_state_dict)."""
+    sd = export_lpdnet_state_dict(params["emb_nn"])
+    sd.update(export_transformer_state_dict(params["pointer"], n_blocks))
+    return sd
+
+
+def export_lpdnet_t7(params_emb: dict, path: str) -> str:
+    """Reverse conversion: our LPDNet param tree -> a reference-layout torch
+    state dict saved with torch.save (round-trips with load_t7_lpdnet)."""
+    import torch
+
+    sd = {
+        k: torch.tensor(v)
+        for k, v in export_lpdnet_state_dict(params_emb).items()
+    }
     torch.save(sd, path)
     return path
 
