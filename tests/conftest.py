@@ -26,3 +26,10 @@ os.environ.setdefault("VCRNET_SKIP_TPU_PROBE", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite's cost is XLA compiles (grad-of-
+# shard_map programs run minutes each on this 1-CPU box), not execution.
+# Caching makes routine re-runs take seconds instead of ~30 min; the cache
+# key includes jax/jaxlib versions and XLA flags, so stale hits are not a
+# risk across container upgrades.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

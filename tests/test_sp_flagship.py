@@ -1,6 +1,12 @@
 """Point-sharded FLAGSHIP model vs the single-device model, 8-device CPU
 mesh: pointer equivalence, partial-head equivalence, full forward
 equivalence (whole + partial), and gradients through shard_map.
+
+Runtime budget: every forward/grad here is wrapped in jax.jit. Evaluating
+jax.grad (or a big model.apply) EAGERLY on the multi-device CPU backend
+dispatches thousands of tiny ops and takes MINUTES per test (this file was
+~15 min before jitting); the jitted versions trace+compile in ~10 s each,
+so full-mesh (8-device, 2x4) coverage stays in the routine suite.
 """
 
 import numpy as np
@@ -42,22 +48,23 @@ def test_pointer_sp_matches_single_device(setup):
     se = rng.randn(B, N, E).astype(np.float32)
     te = rng.randn(B, N, E).astype(np.float32)
 
-    sd_ref, td_ref = model.apply(
-        variables, jnp.asarray(se), jnp.asarray(te),
-        method=lambda m, a, b: m.pointer(a, b),
-    )
-    sd, td = pointer_sp(
-        variables["params"]["pointer"],
-        shard_points(jnp.asarray(se), mesh),
-        shard_points(jnp.asarray(te), mesh),
-        mesh, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
-    )
+    sd_ref, td_ref = jax.jit(
+        lambda a, b: model.apply(
+            variables, a, b, method=lambda m, a, b: m.pointer(a, b)
+        )
+    )(jnp.asarray(se), jnp.asarray(te))
+    sd, td = jax.jit(
+        lambda a, b: pointer_sp(
+            variables["params"]["pointer"], a, b, mesh,
+            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+        )
+    )(shard_points(jnp.asarray(se), mesh), shard_points(jnp.asarray(te), mesh))
     np.testing.assert_allclose(np.asarray(sd), np.asarray(sd_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(td), np.asarray(td_ref), atol=2e-4)
 
 
 def test_pointer_sp_partial_remask_matches(setup):
-    cfg0, model0, _, src, tgt, mesh = setup
+    _, _, _, src, tgt, mesh = setup
     cfg = Config(
         num_points=N, emb_dims=E, ff_dims=128, partial=True, overlap=0.575
     )
@@ -69,30 +76,33 @@ def test_pointer_sp_partial_remask_matches(setup):
     se = rng.randn(B, n, E).astype(np.float32)
     te = rng.randn(B, n, E).astype(np.float32)
 
-    sd_ref, td_ref = model.apply(
-        variables, jnp.asarray(se), jnp.asarray(te),
-        method=lambda m, a, b: m.pointer(a, b),
-    )
-    sd, td = pointer_sp(
-        variables["params"]["pointer"],
-        shard_points(jnp.asarray(se), mesh),
-        shard_points(jnp.asarray(te), mesh),
-        mesh, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
-        partial_mode=True, overlap2=cfg.overlap2,
-    )
+    sd_ref, td_ref = jax.jit(
+        lambda a, b: model.apply(
+            variables, a, b, method=lambda m, a, b: m.pointer(a, b)
+        )
+    )(jnp.asarray(se), jnp.asarray(te))
+    sd, td = jax.jit(
+        lambda a, b: pointer_sp(
+            variables["params"]["pointer"], a, b, mesh,
+            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+            partial_mode=True, overlap2=cfg.overlap2,
+        )
+    )(shard_points(jnp.asarray(se), mesh), shard_points(jnp.asarray(te), mesh))
     np.testing.assert_allclose(np.asarray(sd), np.asarray(sd_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(td), np.asarray(td_ref), atol=2e-4)
 
 
 def test_flagship_sp_whole_matches_model(setup):
     cfg, model, variables, src, tgt, mesh = setup
-    out_ref = model.apply(variables, jnp.asarray(src), jnp.asarray(tgt))
-    src_k, corr, R, t = register_flagship_sp(
-        variables["params"],
-        shard_points(jnp.asarray(src), mesh),
-        shard_points(jnp.asarray(tgt), mesh),
-        mesh, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
-    )
+    out_ref = jax.jit(
+        lambda a, b: model.apply(variables, a, b)
+    )(jnp.asarray(src), jnp.asarray(tgt))
+    src_k, corr, R, t = jax.jit(
+        lambda a, b: register_flagship_sp(
+            variables["params"], a, b, mesh,
+            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+        )
+    )(shard_points(jnp.asarray(src), mesh), shard_points(jnp.asarray(tgt), mesh))
     np.testing.assert_allclose(
         np.asarray(R), np.asarray(out_ref[2]), atol=1e-3
     )
@@ -116,14 +126,16 @@ def test_flagship_sp_partial_matches_model():
     tgt = rng.rand(B, n, 3).astype(np.float32) - 0.5
     variables = model.init(jax.random.PRNGKey(0), src[:1], tgt[:1])
 
-    out_ref = model.apply(variables, jnp.asarray(src), jnp.asarray(tgt))
-    src_k, corr, R, t = register_flagship_sp(
-        variables["params"],
-        shard_points(jnp.asarray(src), mesh),
-        shard_points(jnp.asarray(tgt), mesh),
-        mesh, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
-        partial_mode=True, overlap2=cfg.overlap2,
-    )
+    out_ref = jax.jit(
+        lambda a, b: model.apply(variables, a, b)
+    )(jnp.asarray(src), jnp.asarray(tgt))
+    src_k, corr, R, t = jax.jit(
+        lambda a, b: register_flagship_sp(
+            variables["params"], a, b, mesh,
+            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+            partial_mode=True, overlap2=cfg.overlap2,
+        )
+    )(shard_points(jnp.asarray(src), mesh), shard_points(jnp.asarray(tgt), mesh))
     np.testing.assert_allclose(
         np.asarray(src_k), np.asarray(out_ref[0]), atol=1e-4
     )
@@ -151,13 +163,17 @@ def test_flagship_dp_sp_2d_mesh_partial_matches_model():
     tgt = rng.rand(B, n, 3).astype(np.float32) - 0.5
     variables = model.init(jax.random.PRNGKey(0), src[:1], tgt[:1])
 
-    out_ref = model.apply(variables, jnp.asarray(src), jnp.asarray(tgt))
+    out_ref = jax.jit(
+        lambda a, b: model.apply(variables, a, b)
+    )(jnp.asarray(src), jnp.asarray(tgt))
     sp = lambda a: shard_points(jnp.asarray(a), mesh2, batch_axis="batch")
-    src_k, corr, R, t = register_flagship_sp(
-        variables["params"], sp(src), sp(tgt), mesh2,
-        n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
-        partial_mode=True, overlap2=cfg.overlap2, batch_axis="batch",
-    )
+    src_k, corr, R, t = jax.jit(
+        lambda a, b: register_flagship_sp(
+            variables["params"], a, b, mesh2,
+            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+            partial_mode=True, overlap2=cfg.overlap2, batch_axis="batch",
+        )
+    )(sp(src), sp(tgt))
     np.testing.assert_allclose(
         np.asarray(src_k), np.asarray(out_ref[0]), atol=1e-4
     )
@@ -169,79 +185,11 @@ def test_flagship_dp_sp_2d_mesh_partial_matches_model():
     )
 
 
-def test_sp_gradients_match_single_device(setup):
-    cfg, model, variables, src, tgt, mesh = setup
+def _grad_pair(model, variables, src, tgt, mesh, cfg, batch_axis=None):
+    """Jitted (reference, shard_map) gradients of the same point loss."""
     R_gt = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
     t_gt = np.zeros((B, 3), np.float32)
-
-    def loss_ref(params):
-        out = model.apply({"params": params}, jnp.asarray(src), jnp.asarray(tgt))
-        src_k, corr = out[0], out[1]
-        moved = (
-            jnp.einsum("bij,bnj->bni", jnp.asarray(R_gt), src_k)
-            + jnp.asarray(t_gt)[:, None, :]
-        )
-        return jnp.mean((moved - corr) ** 2)
-
-    def loss_sp(params):
-        return sp_train_loss(
-            params,
-            shard_points(jnp.asarray(src), mesh),
-            shard_points(jnp.asarray(tgt), mesh),
-            jnp.asarray(R_gt), jnp.asarray(t_gt), mesh,
-            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
-        )
-
-    g_ref = jax.grad(loss_ref)(variables["params"])
-    g_sp = jax.grad(loss_sp)(variables["params"])
-
-    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
-    flat_sp = {
-        jax.tree_util.keystr(k): v
-        for k, v in jax.tree_util.tree_leaves_with_path(g_sp)
-    }
-    checked = 0
-    for key, ref in flat_ref:
-        ks = jax.tree_util.keystr(key)
-        sp = flat_sp[ks]
-        np.testing.assert_allclose(
-            np.asarray(sp), np.asarray(ref), atol=5e-4,
-            err_msg=f"grad mismatch at {ks}",
-        )
-        checked += 1
-    assert checked > 20  # embedding + pointer params all covered
-    # and the gradients are non-trivial
-    total = sum(
-        float(np.abs(np.asarray(v)).sum())
-        for v in jax.tree_util.tree_leaves(g_sp)
-    )
-    assert total > 0
-
-
-def test_flagship_dp_sp_2d_mesh_matches_model(setup):
-    """Composed data x point parallelism: batch sharded 2-way over 'batch',
-    points 4-way over 'data' (mesh.make_mesh_2d) — forward AND gradients
-    must match the single-device model."""
-    cfg, model, variables, src, tgt, _ = setup
-    mesh2 = make_mesh_2d(2)  # 8 devices -> 2 (batch) x 4 (points)
-    assert mesh2.devices.shape == (2, 4)
-
-    sp = lambda a: shard_points(jnp.asarray(a), mesh2, batch_axis="batch")
-
-    out_ref = model.apply(variables, jnp.asarray(src), jnp.asarray(tgt))
-    src_k, corr, R, t = register_flagship_sp(
-        variables["params"], sp(src), sp(tgt), mesh2,
-        n_heads=cfg.n_heads, n_blocks=cfg.n_blocks, batch_axis="batch",
-    )
-    np.testing.assert_allclose(np.asarray(R), np.asarray(out_ref[2]), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(t), np.asarray(out_ref[3]), atol=1e-3)
-    np.testing.assert_allclose(
-        np.asarray(corr), np.asarray(out_ref[1]), atol=1e-3
-    )
-
-    # gradients through the 2-D mesh
-    R_gt = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
-    t_gt = np.zeros((B, 3), np.float32)
+    kw = {"batch_axis": batch_axis} if batch_axis else {}
 
     def loss_ref(params):
         out = model.apply(
@@ -255,23 +203,79 @@ def test_flagship_dp_sp_2d_mesh_matches_model(setup):
 
     def loss_sp(params):
         return sp_train_loss(
-            params, sp(src), sp(tgt), jnp.asarray(R_gt), jnp.asarray(t_gt),
-            mesh2, n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
-            batch_axis="batch",
+            params,
+            shard_points(jnp.asarray(src), mesh, **kw),
+            shard_points(jnp.asarray(tgt), mesh, **kw),
+            jnp.asarray(R_gt), jnp.asarray(t_gt), mesh,
+            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks, **kw,
         )
 
-    g_ref = jax.grad(loss_ref)(variables["params"])
-    g_sp = jax.grad(loss_sp)(variables["params"])
-    ref_flat = {
+    g_ref = jax.jit(jax.grad(loss_ref))(variables["params"])
+    g_sp = jax.jit(jax.grad(loss_sp))(variables["params"])
+    return g_ref, g_sp
+
+
+def _assert_grads_match(g_ref, g_sp, atol=5e-4):
+    sp_flat = {
         jax.tree_util.keystr(k): v
-        for k, v in jax.tree_util.tree_leaves_with_path(g_ref)
+        for k, v in jax.tree_util.tree_leaves_with_path(g_sp)
     }
-    for key, v in jax.tree_util.tree_leaves_with_path(g_sp):
+    checked = 0
+    for key, ref in jax.tree_util.tree_leaves_with_path(g_ref):
         ks = jax.tree_util.keystr(key)
         np.testing.assert_allclose(
-            np.asarray(v), np.asarray(ref_flat[ks]), atol=5e-4,
+            np.asarray(sp_flat[ks]), np.asarray(ref), atol=atol,
             err_msg=f"grad mismatch at {ks}",
         )
+        checked += 1
+    assert checked > 20  # embedding + pointer params all covered
+    total = sum(
+        float(np.abs(np.asarray(v)).sum())
+        for v in jax.tree_util.tree_leaves(g_sp)
+    )
+    assert total > 0  # non-trivial gradients
+
+
+def test_sp_gradients_match_single_device(setup):
+    cfg, model, variables, src, tgt, mesh = setup
+    g_ref, g_sp = _grad_pair(model, variables, src, tgt, mesh, cfg)
+    _assert_grads_match(g_ref, g_sp)
+
+
+def test_flagship_dp_sp_2d_mesh_matches_model(setup):
+    """Composed data x point parallelism: batch sharded 2-way over 'batch',
+    points 4-way over 'data' (mesh.make_mesh_2d) — forward must match the
+    single-device model."""
+    cfg, model, variables, src, tgt, _ = setup
+    mesh2 = make_mesh_2d(2)  # 8 devices -> 2 (batch) x 4 (points)
+    assert mesh2.devices.shape == (2, 4)
+
+    sp = lambda a: shard_points(jnp.asarray(a), mesh2, batch_axis="batch")
+    out_ref = jax.jit(
+        lambda a, b: model.apply(variables, a, b)
+    )(jnp.asarray(src), jnp.asarray(tgt))
+    src_k, corr, R, t = jax.jit(
+        lambda a, b: register_flagship_sp(
+            variables["params"], a, b, mesh2,
+            n_heads=cfg.n_heads, n_blocks=cfg.n_blocks, batch_axis="batch",
+        )
+    )(sp(src), sp(tgt))
+    np.testing.assert_allclose(np.asarray(R), np.asarray(out_ref[2]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(out_ref[3]), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(corr), np.asarray(out_ref[1]), atol=1e-3
+    )
+
+
+def test_flagship_dp_sp_2d_mesh_grads(setup):
+    """Gradients through the composed full 2x4 dp x sp mesh match the
+    single-device model."""
+    cfg, model, variables, src, tgt, _ = setup
+    mesh2 = make_mesh_2d(2, 4)
+    g_ref, g_sp = _grad_pair(
+        model, variables, src, tgt, mesh2, cfg, batch_axis="batch"
+    )
+    _assert_grads_match(g_ref, g_sp)
 
 
 def test_sp_gradients_partial_mode_finite():
@@ -298,6 +302,6 @@ def test_sp_gradients_partial_mode_finite():
             partial_mode=True, overlap2=cfg.overlap2,
         )
 
-    g = jax.grad(loss_sp)(variables["params"])
+    g = jax.jit(jax.grad(loss_sp))(variables["params"])
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
