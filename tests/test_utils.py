@@ -58,3 +58,20 @@ def test_attention_capture():
     np.testing.assert_allclose(
         np.asarray(attn.sum(-1)), 2.0, atol=1e-5
     )  # rows sum to n_heads
+
+
+def test_progress_counts_and_respects_off_switch(monkeypatch, capsys):
+    from vcrnet_tpu.utils.logging import Progress
+
+    monkeypatch.setenv("VCRNET_PROGRESS", "0")
+    prog = Progress(desc="train")
+    seen = list(prog.wrap(iter(range(5)), total=5))
+    assert seen == list(range(5))
+    assert prog.n == 5 and prog.total == 5
+    assert capsys.readouterr().err == ""  # disabled -> no terminal noise
+
+    monkeypatch.setenv("VCRNET_PROGRESS", "1")
+    prog = Progress(desc="eval")
+    list(prog.wrap([1, 2, 3]))
+    err = capsys.readouterr().err
+    assert "3/3" in err and "eval" in err

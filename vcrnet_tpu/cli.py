@@ -73,9 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["cpu", "tpu"],
                    help="force a jax backend: 'cpu' escapes a wedged TPU "
                         "tunnel; default uses whatever jax picks")
-    p.add_argument("--tpu_probe_timeout", type=float, default=60.0,
+    p.add_argument("--tpu_probe_timeout", type=float,
+                   default=float(
+                       os.environ.get("VCRNET_TPU_PROBE_TIMEOUT_S", "120")
+                   ),
                    help="seconds before a TPU-responsiveness probe declares "
-                        "the backend wedged and exits (0 disables the probe)")
+                        "the backend wedged and exits (0 disables the probe; "
+                        "default 120 — the live tunnel has been observed to "
+                        "take >60 s for a trivial matmul while still healthy; "
+                        "env VCRNET_TPU_PROBE_TIMEOUT_S overrides)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--mesh_shape", type=int, default=None)

@@ -67,6 +67,13 @@ class TrainState(struct.PyTreeNode):
         return v
 
 
+def _loader_len(loader) -> Optional[int]:
+    try:
+        return len(loader)
+    except TypeError:
+        return None
+
+
 def _weighted_mean(per_sample: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.sum(per_sample * valid) / jnp.maximum(jnp.sum(valid), 1e-12)
 
@@ -472,18 +479,24 @@ class Trainer:
 
     def train_epoch(self, state: TrainState, loader):
         from vcrnet_tpu.data.pipeline import prefetch
+        from vcrnet_tpu.utils.logging import Progress
 
         acc = M.EpochAccumulator()
-        for batch in prefetch(loader, self._to_device):
+        prog = Progress(desc="train")
+        for batch in prog.wrap(prefetch(loader, self._to_device),
+                               total=_loader_len(loader)):
             state, sums = self._train_step(state, batch)
             acc.add(sums)
         return state, M.summarize(acc)
 
     def eval_epoch(self, state: TrainState, loader):
         from vcrnet_tpu.data.pipeline import prefetch
+        from vcrnet_tpu.utils.logging import Progress
 
         acc = M.EpochAccumulator()
-        for batch in prefetch(loader, self._to_device):
+        prog = Progress(desc="eval")
+        for batch in prog.wrap(prefetch(loader, self._to_device),
+                               total=_loader_len(loader)):
             sums = self._eval_step(state, batch)
             acc.add(sums)
         return M.summarize(acc)

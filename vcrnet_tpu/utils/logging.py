@@ -85,6 +85,77 @@ class StepTimer:
         )
 
 
+class Progress:
+    """tqdm-style single-line progress for batch loops (the reference wraps
+    every loop in tqdm, e.g. model/vcrnet_model.py:655). Counts host-side
+    batch submissions only — no device syncs — so it never perturbs step
+    pipelining. Renders to stderr when it is a TTY; VCRNET_PROGRESS=1
+    forces it on (e.g. piped logs), VCRNET_PROGRESS=0 forces it off."""
+
+    def __init__(self, total: Optional[int] = None, desc: str = ""):
+        import os
+        import sys
+
+        self.total = total
+        self.desc = desc
+        self.n = 0
+        self._t0 = time.perf_counter()
+        self._last_render = 0.0
+        self._file = sys.stderr
+        force = os.environ.get("VCRNET_PROGRESS", "")
+        if force == "0":
+            self.enabled = False
+        elif force:
+            self.enabled = True
+        else:
+            self.enabled = bool(
+                getattr(self._file, "isatty", lambda: False)()
+            )
+
+    def update(self, k: int = 1) -> None:
+        self.n += k
+        if not self.enabled:
+            return
+        now = time.perf_counter()
+        done = self.total is not None and self.n >= self.total
+        if now - self._last_render < 0.25 and not done:
+            return
+        self._last_render = now
+        elapsed = now - self._t0
+        rate = self.n / elapsed if elapsed > 0 else 0.0
+        if self.total:
+            eta = (self.total - self.n) / rate if rate > 0 else 0.0
+            msg = (
+                f"\r{self.desc}: {self.n}/{self.total} "
+                f"[{elapsed:.0f}s<{eta:.0f}s, {rate:.2f} batch/s]"
+            )
+        else:
+            msg = f"\r{self.desc}: {self.n} [{elapsed:.0f}s, {rate:.2f} batch/s]"
+        self._file.write(msg)
+        self._file.flush()
+
+    def close(self) -> None:
+        if self.enabled and self.n:
+            self._file.write("\n")
+            self._file.flush()
+
+    def wrap(self, iterable, total: Optional[int] = None):
+        """Yield from ``iterable`` with a progress tick per item."""
+        if total is not None:
+            self.total = total
+        elif self.total is None:
+            try:
+                self.total = len(iterable)
+            except TypeError:
+                pass
+        try:
+            for item in iterable:
+                yield item
+                self.update()
+        finally:
+            self.close()
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: Optional[str]):
     """jax.profiler trace context; no-op when log_dir is None."""
