@@ -9,6 +9,8 @@ and the slice helper must partition a batch exactly for any simulated
 process grid.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -95,6 +97,66 @@ def test_initialize_pod_markers_and_error_propagation(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", fake_init_fail)
     with pytest.raises(RuntimeError, match="coordinator"):
         initialize()
+
+
+def test_two_process_train_step_integration():
+    """REAL multi-process integration: two subprocesses bring up
+    jax.distributed over a Gloo coordinator (2 local CPU devices each, 4
+    global), run ONE dp train step through Trainer +
+    local_batch_slice/global_batch_from_local on a deterministic batch,
+    and must agree with each other AND with a single-process run at the
+    same global device count — the per-process feed path is invisible to
+    the math."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+
+    def launch(pid, nproc):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in (repo, env.get("PYTHONPATH", "")) if p
+        )
+        return subprocess.Popen(
+            [sys.executable, worker, str(pid), str(nproc), port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+
+    procs = [launch(0, 2), launch(1, 2)]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"no RESULT line:\n{out}\n{err[-2000:]}"
+        results.append(json.loads(line[0][len("RESULT "):]))
+
+    ref_proc = launch(0, 1)
+    out, err = ref_proc.communicate(timeout=420)
+    assert ref_proc.returncode == 0, f"reference failed:\n{err[-3000:]}"
+    ref = json.loads(
+        [l for l in out.splitlines() if l.startswith("RESULT ")][0][
+            len("RESULT "):
+        ]
+    )
+
+    assert results[0]["process_count"] == 2
+    assert results[1]["process_count"] == 2
+    assert ref["process_count"] == 1
+    for r in results:
+        assert r["count"] == ref["count"] == 8.0
+        np.testing.assert_allclose(r["loss"], ref["loss"], rtol=1e-5)
+        np.testing.assert_allclose(
+            r["param_fingerprint"], ref["param_fingerprint"], rtol=1e-5
+        )
 
 
 def test_trainer_to_device_multihost_path(monkeypatch):
