@@ -1,0 +1,40 @@
+#!/bin/bash
+# Self-sufficient two-stage recipe (NO reference binaries), VERDICT r2 #3.
+#
+# Mirrors the reference's published recipe (reference README.md:25-31) on
+# the synthetic shapes set: (1) LPD triplet pretrain, (2) VCR-Net train
+# warm-started from that embedding, (3) reference eval protocol --iter 3.
+# Round-2 ran this at 10 LPD epochs / 25 VCR epochs -> rot RMSE 2.95 deg;
+# the reference-converted .t7 embedding reaches 0.41 deg, so the gap is
+# recipe (undertrained embedding), not capacity. This driver makes the
+# sweep reproducible: LPD_EPOCHS / VCR_EPOCHS / LPD_BS env-overridable.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+LPD_EPOCHS=${LPD_EPOCHS:-120}
+VCR_EPOCHS=${VCR_EPOCHS:-60}
+LPD_BS=${LPD_BS:-32}
+VCR_BS=${VCR_BS:-64}
+TAG=${TAG:-r3}
+COMMON="--dataset synthetic_shapes --num_points 1024 --emb_dims 512 \
+  --compute_dtype bfloat16"
+
+echo "== stage 1: LPD pretrain ($LPD_EPOCHS epochs, B=$LPD_BS) =="
+python main.py --model lpd $COMMON \
+  --batch_size "$LPD_BS" --test_batch_size "$LPD_BS" \
+  --epochs "$LPD_EPOCHS" --exp_name "lpd_self_$TAG"
+LPD_CKPT=$(ls -t checkpoints/train/lpd-*/models/model.best.msgpack | head -1)
+echo "LPD checkpoint: $LPD_CKPT"
+
+echo "== stage 2: VCR-Net train ($VCR_EPOCHS epochs, B=$VCR_BS), warm-start =="
+python main.py --model vcrnet $COMMON \
+  --batch_size "$VCR_BS" --test_batch_size "$VCR_BS" \
+  --epochs "$VCR_EPOCHS" --exp_name "vcr_self_$TAG" \
+  --model_path "$LPD_CKPT"
+VCR_CKPT=$(ls -t checkpoints/train/vcrnet-*/models/model.best.msgpack | head -1)
+echo "VCR checkpoint: $VCR_CKPT"
+
+echo "== stage 3: reference eval protocol (--iter 3) =="
+python main.py --model vcrnet $COMMON \
+  --test_batch_size 64 --eval --iter 3 \
+  --exp_name "vcr_self_eval_$TAG" --model_path "$VCR_CKPT"
