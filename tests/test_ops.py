@@ -785,6 +785,41 @@ class TestLayerNormVJP:
             fro = np.linalg.norm(f32 - r32) / max(np.linalg.norm(r32), 1e-6)
             assert fro < tol, (name, fro)
 
+    def test_zero_variance_rows_finite_grad(self):
+        """A ReLU-dead (all-constant) row must yield FINITE gradients.
+
+        Regression for the self-sufficient warm start: an LPD embedding
+        pretrained at leaky-slope 0.2 loaded into the slope-0.0 VCRNet
+        leaves ~30% of points with all-zero embeddings; autodiff of the
+        d(std)/dx term is 0/0 on those rows and one NaN row poisoned the
+        whole train step (observed: train_loss=nan from epoch 0)."""
+        import jax as _jax
+
+        from vcrnet_tpu.ops.layernorm import layer_norm_torch
+
+        rng = np.random.RandomState(3)
+        x = rng.randn(2, 8, 32).astype(np.float32)
+        x[0, 0] = 0.0  # dead row
+        x[1, 3] = 2.5  # constant-but-nonzero row (also zero variance)
+        x = jnp.asarray(x)
+        a = jnp.asarray(rng.rand(32).astype(np.float32) + 0.5)
+        b = jnp.asarray(rng.randn(32).astype(np.float32))
+        ct = jnp.asarray(rng.randn(2, 8, 32).astype(np.float32))
+
+        g = _jax.grad(
+            lambda t: jnp.sum(layer_norm_torch(*t) * ct)
+        )((x, a, b))
+        for name, leaf in zip(("dx", "da", "db"), g):
+            assert np.isfinite(np.asarray(leaf)).all(), name
+        # healthy rows still match autodiff of the naive formulation
+        g_ref = _jax.grad(
+            lambda t: jnp.sum(self._naive(*t) * ct)
+        )((x, a, b))
+        np.testing.assert_allclose(
+            np.asarray(g[0])[0, 1:], np.asarray(g_ref[0])[0, 1:],
+            rtol=1e-5, atol=1e-6,
+        )
+
     def test_grad_through_module(self):
         # the flax wrapper differentiates end-to-end (params + input)
         import jax as _jax

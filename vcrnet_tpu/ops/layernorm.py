@@ -68,7 +68,14 @@ def _ln_bwd(eps: float, res, dy):
     dh = dyf * a
     c1 = dh.mean(axis=-1, keepdims=True)
     c2 = (dh * h).sum(axis=-1, keepdims=True)
-    dx = (dh - c1) / denom - h * (c2 / ((d - 1) * std))
+    # zero-variance rows (e.g. ReLU-dead embedding points after a
+    # leaky-slope-0.2 LPD pretrain is loaded into the slope-0.0 VCRNet):
+    # h == 0 there, so the d(std)/dx term is 0 * (c2/0) — autodiff (ours
+    # OR torch's through the reference's hand-written norm) emits NaN and
+    # one such row poisons the whole step. Take the h->0 limit (term
+    # vanishes) instead; the (dh - c1)/denom part stays exact.
+    safe_std = jnp.where(std > 0.0, std, 1.0)
+    dx = (dh - c1) / denom - h * (c2 / ((d - 1) * safe_std))
     red = tuple(range(x.ndim - 1))
     da = (dyf * h).sum(axis=red)
     db = dyf.sum(axis=red)
