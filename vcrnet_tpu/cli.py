@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "default 120 — the live tunnel has been observed to "
                         "take >60 s for a trivial matmul while still healthy; "
                         "env VCRNET_TPU_PROBE_TIMEOUT_S overrides)")
+    p.add_argument("--tpu_probe_window", type=float,
+                   default=float(
+                       os.environ.get("VCRNET_TPU_PROBE_WINDOW_S", "0")
+                   ),
+                   help="seconds to keep retrying a failed TPU probe before "
+                        "giving up (0 = single-shot fail-fast; set to e.g. "
+                        "1800 for unattended runs that should survive a "
+                        "transient tunnel flap; env VCRNET_TPU_PROBE_WINDOW_S "
+                        "overrides)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--mesh_shape", type=int, default=None)
@@ -145,7 +154,10 @@ def main(argv=None):
         from vcrnet_tpu.utils.tpu_probe import TPUUnresponsiveError, probe_tpu
 
         try:
-            probe_tpu(timeout_s=args.tpu_probe_timeout)
+            probe_tpu(
+                timeout_s=args.tpu_probe_timeout,
+                window_s=args.tpu_probe_window,
+            )
         except TPUUnresponsiveError as e:
             raise SystemExit(f"FATAL: {e}")
 
