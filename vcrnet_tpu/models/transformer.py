@@ -192,13 +192,36 @@ class MultiHeadAttention(nn.Module):
                     query, key, wq, bq, wk, bk, wv, bv, wo, bo, n_heads=h
                 )
 
-        def proj(x, mod):
-            y = mod(x)
+        def heads_of(y):
             return y.reshape(B, -1, h, d_k).transpose(0, 2, 1, 3)  # [B,H,N,dk]
 
-        q = proj(query, dq)
-        k = proj(key, dk_m)
-        v = proj(value, dv)
+        def proj(x, mod):
+            return heads_of(mod(x))
+
+        def proj_merged(x, mods):
+            """One matmul for several projections of the SAME input: x @
+            [W1|W2|...] + [b1|b2|...], then split. Exactly the per-module
+            matmuls (matmul is column-separable), but reads the activation
+            once and runs the MXU at 2-3x the width — the pointer is
+            fusion/bandwidth-bound at these shapes (docs/KERNELS.md), so
+            fewer passes beat int8-rate tricks here."""
+            kmat = jnp.concatenate([m.kernel for m in mods], axis=1)
+            bias = jnp.concatenate([m.bias for m in mods])
+            x, kmat, bias = nn.dtypes.promote_dtype(
+                x, kmat, bias, dtype=self.dtype
+            )
+            return [heads_of(y) for y in
+                    jnp.split(x @ kmat + bias, len(mods), axis=-1)]
+
+        if not i8 and query is key and key is value:
+            q, k, v = proj_merged(query, (dq, dk_m, dv))
+        elif not i8 and key is value:
+            q = proj(query, dq)
+            k, v = proj_merged(key, (dk_m, dv))
+        else:
+            q = proj(query, dq)
+            k = proj(key, dk_m)
+            v = proj(value, dv)
 
         if self.flash and not self.remask and not dropping:
             x = _flash(q, k, v, 1.0 / (d_k**0.5))
