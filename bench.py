@@ -546,8 +546,8 @@ def main():
         # the headline config failed outright — fail fast rather than
         # spending many more tunnel-TPU minutes on the other protocols
         raise RuntimeError("headline configuration (whole_iter1) failed")
-    configs["whole_iter3"] = _best_over_batches(False, 3, (64, 128, 256))
-    configs["partial_iter3"] = _best_over_batches(True, 3, (64, 128, 256))
+    configs["whole_iter3"] = _best_over_batches(False, 3, (64, 128, 256, 512))
+    configs["partial_iter3"] = _best_over_batches(True, 3, (64, 128, 256, 512))
     # the remaining driver-named baseline configs, one batch size each to
     # bound tunnel time (VERDICT r2 weak#1: "if it isn't in BENCH_r*.json,
     # it isn't evidence")

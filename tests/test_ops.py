@@ -469,10 +469,13 @@ class TestPallasEdgeConv:
                 np.asarray(p), np.asarray(r), atol=2e-4
             )
 
-    def test_vmem_guard_tile_constraints(self):
+    def test_vmem_guard_tile_constraints(self, monkeypatch):
         # (ADVICE r1) shrink under pressure, but never below a multiple of 8
         # that divides N — and the backward wrappers must apply the guard
         from vcrnet_tpu.ops.pallas_edgeconv import _vmem_guard_tile
+
+        # assertions are about the DEFAULT budgets; neutralize the A/B knob
+        monkeypatch.delenv("VCRNET_ONEHOT_VMEM_BUDGET_MB", raising=False)
 
         # 20*128*4096*4B = 40 MB -> shrinks; all candidates divide 4096
         assert _vmem_guard_tile(128, 20, 4096, 4) == 8

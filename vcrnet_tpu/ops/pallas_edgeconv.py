@@ -57,6 +57,13 @@ DEFERRED_OVERRIDE: bool | None = (
     else _DEFERRED_ENV not in ("0", "false", "off", "no")
 )
 
+# A/B knob for the query-tile size of the fused forward kernels (default
+# 128; the VMEM guards still shrink it where the one-hot would not fit).
+# Larger tiles = fewer grid programs and wider gather matmuls, at more
+# VMEM per program — re-measure before changing the default.
+_TILE_ENV = os.environ.get("VCRNET_EDGECONV_TILE_Q", "").strip()
+TILE_Q_DEFAULT: int = int(_TILE_ENV) if _TILE_ENV.isdigit() else 128
+
 
 def _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q):
     q = x_q_ref[0]
@@ -594,7 +601,7 @@ def _edge_conv_from_idx_kernel(
 
 
 def edge_conv_from_idx(
-    idx, a, h, w2, b2, negative_slope: float = 0.0, tile_q: int = 128,
+    idx, a, h, w2, b2, negative_slope: float = 0.0, tile_q: int | None = None,
     interpret: bool = False, int8_gather: bool = False,
 ):
     """idx [B, N, k] int32, a/h [B, N, F], w2 [F, F], b2 [F]
@@ -684,6 +691,8 @@ def _norms(x):
 
 
 def _pick_tile(n, tile_q):
+    if tile_q is None:
+        tile_q = TILE_Q_DEFAULT
     if n % tile_q == 0:
         return tile_q
     # >= 8: Mosaic requires the sublane dim divisible by 8
@@ -693,7 +702,12 @@ def _pick_tile(n, tile_q):
 def _vmem_guard_tile(tile_q, k, n, itemsize, budget=4 << 20):
     """Shrink tile_q so a [k*tile_q, n] one-hot stays under ~budget bytes of
     VMEM. Each halving must keep tile_q a multiple of 8 (Mosaic sublane
-    constraint) and a divisor of n (grid tiling); stop when it can't."""
+    constraint) and a divisor of n (grid tiling); stop when it can't.
+    VCRNET_ONEHOT_VMEM_BUDGET_MB overrides the budget (A/B knob, pairs
+    with VCRNET_EDGECONV_TILE_Q; read at call time so tests can clear it)."""
+    env = os.environ.get("VCRNET_ONEHOT_VMEM_BUDGET_MB", "").strip()
+    if env.isdigit():
+        budget = int(env) << 20
     while tile_q > 8 and k * tile_q * n * itemsize > budget:
         nxt = tile_q // 2
         if nxt % 8 != 0 or n % nxt != 0:
@@ -704,7 +718,7 @@ def _vmem_guard_tile(tile_q, k, n, itemsize, budget=4 << 20):
 
 def fused_edge_conv(
     x, a, h, w2, b2, k: int = 20, negative_slope: float = 0.0,
-    tile_q: int = 128, interpret: bool = False,
+    tile_q: int | None = None, interpret: bool = False,
     packed_select: bool = True, int8_gather: bool = False,
     return_idx: bool = False,
 ):
@@ -901,7 +915,7 @@ def _fused_edge_conv_fwd_impl(
 
 
 def fused_knn_gather_max(
-    x, values, k: int = 20, tile_q: int = 128, interpret: bool = False,
+    x, values, k: int = 20, tile_q: int | None = None, interpret: bool = False,
     return_idx: bool = False, packed_select: bool = True,
     int8_gather: bool = False,
 ):
@@ -987,7 +1001,7 @@ _fused_gather_max_vjp.defvjp(_fused_gather_max_fwd, _fused_gather_max_bwd)
 
 
 def gather_max_from_idx(
-    idx, values, tile_q: int = 128, interpret: bool = False,
+    idx, values, tile_q: int | None = None, interpret: bool = False,
     int8_gather: bool = False,
 ):
     """idx [B, N, k] int32, values [B, N, F] -> [B, N, F]:
