@@ -33,7 +33,8 @@ def eval_variant(name, batch, partial, reuse_env, sub_env=""):
         os.environ["VCRNET_REFINE_SUBSAMPLE"] = sub_env
     else:
         os.environ.pop("VCRNET_REFINE_SUBSAMPLE", None)
-    pps = bench.bench_protocol(batch, partial, 3)
+    row = bench.bench_protocol(batch, partial, 3)
+    pps = row["pairs_per_sec_per_chip"]
     print(
         f"{name:28s} B={batch:<4d} {batch / pps * 1000:7.1f} ms/step  "
         f"{pps:7.1f} pairs/s/chip ({pps / bench.NORTH_STAR:.3f}x)",
