@@ -19,6 +19,7 @@ Reference model/transformer.py. Key semantics reproduced:
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -201,10 +202,11 @@ class MultiHeadAttention(nn.Module):
         def proj_merged(x, mods):
             """One matmul for several projections of the SAME input: x @
             [W1|W2|...] + [b1|b2|...], then split. Exactly the per-module
-            matmuls (matmul is column-separable), but reads the activation
-            once and runs the MXU at 2-3x the width — the pointer is
-            fusion/bandwidth-bound at these shapes (docs/KERNELS.md), so
-            fewer passes beat int8-rate tricks here."""
+            matmuls (matmul is column-separable). Measured SLOWER on the
+            v5e at pointer shapes (cached pointer 17.2 vs 12.9 ms, encoder
+            5.7 vs 4.0: the concatenated [512,1536] kernel defeats XLA's
+            matmul+flash fusion), so it is OFF by default; A/B gate:
+            VCRNET_MERGED_QKV=1 enables it."""
             kmat = jnp.concatenate([m.kernel for m in mods], axis=1)
             bias = jnp.concatenate([m.bias for m in mods])
             x, kmat, bias = nn.dtypes.promote_dtype(
@@ -213,9 +215,10 @@ class MultiHeadAttention(nn.Module):
             return [heads_of(y) for y in
                     jnp.split(x @ kmat + bias, len(mods), axis=-1)]
 
-        if not i8 and query is key and key is value:
+        merged = os.environ.get("VCRNET_MERGED_QKV", "0") == "1"
+        if merged and not i8 and query is key and key is value:
             q, k, v = proj_merged(query, (dq, dk_m, dv))
-        elif not i8 and key is value:
+        elif merged and not i8 and key is value:
             q = proj(query, dq)
             k, v = proj_merged(key, (dk_m, dv))
         else:
