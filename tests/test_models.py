@@ -104,6 +104,27 @@ def small_cfg():
 
 
 class TestVCRNet:
+    def test_merged_qkv_knob_matches_default(self, small_cfg, monkeypatch):
+        # VCRNET_MERGED_QKV=1 runs q/k/v as one concatenated matmul —
+        # column-separable, so outputs must match the per-projection
+        # default to float tolerance (the knob is OFF by default after
+        # the v5e A/B measured it slower; this guards its correctness
+        # so the A/B path stays usable).
+        rng = np.random.RandomState(11)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=small_cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        monkeypatch.delenv("VCRNET_MERGED_QKV", raising=False)
+        base = model.apply(variables, src, tgt)
+        monkeypatch.setenv("VCRNET_MERGED_QKV", "1")
+        merged = jax.jit(model.apply)(variables, src, tgt)
+        for a, b in zip(base, merged):
+            # f32 summation order differs inside the merged matmul, so
+            # allow a scaled tolerance rather than bitwise equality.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
     def test_forward_shapes_whole(self, small_cfg):
         rng = np.random.RandomState(6)
         src, tgt, _, _ = make_pair(rng, batch=2, n=64)
