@@ -25,6 +25,15 @@ def test_params_table_and_count(tmp_path):
     assert set(df["name"]) == {"layer/kernel", "layer/bias"}
     assert df["params"].sum() == 16
 
+    # values=True dumps the full flattened weights (reference
+    # saveNetAsExcel's (name, tensor) sheet, util/initPara.py:68-74)
+    vpath = save_params_table(
+        params, str(tmp_path / "net_vals.csv"), values=True
+    )
+    vdf = pd.read_csv(vpath)
+    row = vdf[vdf["name"] == "layer/bias"].iloc[0]
+    assert [float(v) for v in row["values"].strip("[]").split()] == [0.0] * 4
+
 
 def test_memory_probe_runs():
     mb = device_memory_mb()

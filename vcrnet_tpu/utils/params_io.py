@@ -36,23 +36,28 @@ def count_params(params) -> int:
     )
 
 
-def save_params_table(params, path: str) -> str:
-    """Write a name/shape/stats table of all parameters to CSV/XLSX."""
+def save_params_table(params, path: str, values: bool = False) -> str:
+    """Write a name/shape/stats table of all parameters to CSV/XLSX.
+
+    ``values=True`` dumps the FULL flattened weight values per row instead
+    of summary stats — the reference saveNetAsExcel's (name, tensor) sheet
+    (util/initPara.py:68-74), for eyeballing/diffing small nets."""
     import pandas as pd
 
     rows = []
     for name, arr in _flatten(params):
-        rows.append(
-            {
-                "name": name,
-                "shape": str(arr.shape),
-                "params": int(arr.size),
-                "mean": float(arr.mean()),
-                "std": float(arr.std()),
-                "min": float(arr.min()),
-                "max": float(arr.max()),
-            }
-        )
+        row = {"name": name, "shape": str(arr.shape), "params": int(arr.size)}
+        if values:
+            row["values"] = np.array2string(
+                arr.ravel(), precision=5, separator=" ",
+                threshold=np.inf, max_line_width=np.inf,
+            )
+        else:
+            row.update(
+                mean=float(arr.mean()), std=float(arr.std()),
+                min=float(arr.min()), max=float(arr.max()),
+            )
+        rows.append(row)
     df = pd.DataFrame(rows)
     if path.endswith(".xlsx"):
         try:
