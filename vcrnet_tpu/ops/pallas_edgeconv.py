@@ -119,6 +119,36 @@ def _packed_pop_max(packed, mask):
     return sel, col, packed
 
 
+# Threshold-scan selection (default): because _pack_scores makes every
+# packed value DISTINCT per row, popping in descending order means "already
+# popped" == "packed >= previous max". Each step is then a READ-ONLY masked
+# max against a per-row scalar threshold — the [TQ, N] score array is never
+# written back, so the serial chain carries only a [TQ] vector instead of
+# re-storing the whole tile every step. Selection SET and order are
+# identical to _packed_pop_max (strictly-decreasing distinct values).
+# VCRNET_THRESHOLD_SELECT=0 restores the masking loop for A/B.
+# (Caveat shared with the masking loop: NaN scores pack to large values and
+# get selected first — NaN inputs are undefined behavior in both variants.)
+_THRESHOLD_SELECT: bool = (
+    os.environ.get("VCRNET_THRESHOLD_SELECT", "1") != "0"
+)
+
+
+def _threshold_pop_max(packed, thr, mask):
+    """One read-only selection step: max over entries strictly below thr.
+    Returns (sel, col, m) where m is both the popped value and the next
+    threshold. packed is NOT modified."""
+    masked = jnp.where(packed < thr[:, None], packed, jnp.int32(-(2**31)))
+    m = jnp.max(masked, axis=1)  # [TQ]
+    col = mask - jnp.bitwise_and(m, mask)
+    sel = packed == m[:, None]  # unique: packed values are distinct per row
+    return sel, col, m
+
+
+def _thr_init(tile_q):
+    return jnp.full((tile_q,), jnp.int32(2**31 - 1))
+
+
 def _quantize_channels_batched(values):
     """Per-item per-channel symmetric int8 quantization of a [B, N, F]
     value table -> (int8 table, [B, 1, F] f32 scale).
@@ -186,15 +216,18 @@ def _edge_conv_kernel(
         return jnp.where(v >= 0, v, v * slope)
 
     # fori_loop, not a python unroll: keeps the Mosaic program (and its
-    # compile time) independent of k
+    # compile time) independent of k. ``st`` is the selection state: the
+    # [TQ] threshold (read-only scores) or the masked score tile itself.
     def body(j, carry):
-        scores, x1, x2, idx, w1, w2_win = carry
-        if packed_select:
-            sel, amax, scores = _packed_pop_max(scores, mask)
+        st, x1, x2, idx, w1, w2_win = carry
+        if packed_select and _THRESHOLD_SELECT:
+            sel, amax, st = _threshold_pop_max(scores, st, mask)
+        elif packed_select:
+            sel, amax, st = _packed_pop_max(st, mask)
         else:
-            amax = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
+            amax = jnp.argmax(st, axis=1).astype(jnp.int32)  # [TQ]
             sel = col_ids == amax[:, None]
-            scores = jnp.where(sel, neg_inf, scores)
+            st = jnp.where(sel, neg_inf, st)
         g = _gather_rows(sel, a_full, a_scale, int8_gather)
         z = leaky(g + h32)
         y = leaky(
@@ -217,10 +250,11 @@ def _edge_conv_kernel(
             x2 = jnp.maximum(x2, y)
         # record the selection (consumed by the backward)
         idx = jnp.where(k_ids == j, amax[:, None], idx)
-        return scores, x1, x2, idx, w1, w2_win
+        return st, x1, x2, idx, w1, w2_win
 
     init = (
-        scores,
+        _thr_init(tile_q) if (packed_select and _THRESHOLD_SELECT)
+        else scores,
         jnp.full((tile_q, f), neg_inf, jnp.float32),
         jnp.full((tile_q, f), neg_inf, jnp.float32),
         jnp.zeros((tile_q, k), jnp.int32),
@@ -245,7 +279,25 @@ def _select_knn_idx(scores, col_ids, k: int, tile_q: int,
     neg_inf = jnp.float32(-jnp.inf)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
     if packed_select:
-        scores, mask = _pack_scores(scores, col_ids, scores.shape[-1])
+        packed, mask = _pack_scores(scores, col_ids, scores.shape[-1])
+        if _THRESHOLD_SELECT:
+            min32 = jnp.int32(-(2**31))
+
+            def tbody(j, carry):
+                thr, idx = carry
+                m = jnp.max(
+                    jnp.where(packed < thr[:, None], packed, min32), axis=1
+                )
+                amax = mask - jnp.bitwise_and(m, mask)
+                idx = jnp.where(k_ids == j, amax[:, None], idx)
+                return m, idx
+
+            _, idx = jax.lax.fori_loop(
+                0, k, tbody,
+                (_thr_init(tile_q), jnp.zeros((tile_q, k), jnp.int32)),
+            )
+            return idx
+        scores = packed
 
     def body(j, carry):
         scores, idx = carry
@@ -375,13 +427,15 @@ def _gather_max_kernel(
         scores, mask = _pack_scores(scores, col_ids, n)
 
     def body(j, carry):
-        scores, gmax, idx, w = carry
-        if packed_select:
-            sel, amax, scores = _packed_pop_max(scores, mask)
+        st, gmax, idx, w = carry
+        if packed_select and _THRESHOLD_SELECT:
+            sel, amax, st = _threshold_pop_max(scores, st, mask)
+        elif packed_select:
+            sel, amax, st = _packed_pop_max(st, mask)
         else:
-            amax = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            amax = jnp.argmax(st, axis=1).astype(jnp.int32)
             sel = col_ids == amax[:, None]
-            scores = jnp.where(sel, neg_inf, scores)
+            st = jnp.where(sel, neg_inf, st)
         g = _gather_rows(sel, values, v_scale, int8_gather)
         if emit_winners:
             b = g > gmax  # strict >: first j claims (torch argmax)
@@ -390,10 +444,11 @@ def _gather_max_kernel(
         else:
             gmax = jnp.maximum(gmax, g)
         idx = jnp.where(k_ids == j, amax[:, None], idx)
-        return scores, gmax, idx, w
+        return st, gmax, idx, w
 
     init = (
-        scores,
+        _thr_init(tile_q) if (packed_select and _THRESHOLD_SELECT)
+        else scores,
         jnp.full((tile_q, f), neg_inf, jnp.float32),
         jnp.zeros((tile_q, k), jnp.int32),
         jnp.zeros((tile_q, f), jnp.int32),

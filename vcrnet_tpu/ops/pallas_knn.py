@@ -30,9 +30,7 @@ def _knn_kernel(
     x_q_ref, x_k_ref, norms_ref, out_ref, *, k: int, tile_q: int,
     packed_select: bool,
 ):
-    from vcrnet_tpu.ops.pallas_edgeconv import (
-        _pack_scores, _packed_pop_max,
-    )
+    from vcrnet_tpu.ops.pallas_edgeconv import _select_knn_idx
 
     q = x_q_ref[0]  # [TQ, C]
     keys = x_k_ref[0]  # [N, C]
@@ -47,28 +45,10 @@ def _knn_kernel(
     row0 = pl.program_id(1) * tile_q
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, n), 0) + row0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, n), 1)
-    neg_inf = jnp.float32(-jnp.inf)
-    scores = jnp.where(col_ids == row_ids, neg_inf, scores)
-    if packed_select:
-        scores, mask = _pack_scores(scores, col_ids, n)
-
-    # k-step iterative max extraction; fori_loop (not a python unroll)
-    # keeps the Mosaic program size (and compile time) independent of k
-    def body(j, carry):
-        scores, out = carry
-        if packed_select:
-            _, a, scores = _packed_pop_max(scores, mask)
-        else:
-            a = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TQ]
-            sel = col_ids == a[:, None]
-            scores = jnp.where(sel, neg_inf, scores)
-        k_ids = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
-        out = jnp.where(k_ids == j, a[:, None], out)
-        return scores, out
-
-    out0 = jnp.zeros((tile_q, k), jnp.int32)
-    _, out = jax.lax.fori_loop(0, k, body, (scores, out0))
-    out_ref[0] = out
+    scores = jnp.where(col_ids == row_ids, jnp.float32(-jnp.inf), scores)
+    # shared k-step selection loop (threshold-scan or masking pop-max —
+    # see pallas_edgeconv._select_knn_idx)
+    out_ref[0] = _select_knn_idx(scores, col_ids, k, tile_q, packed_select)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
