@@ -57,11 +57,24 @@ def main():
 
     t("fused_edge_conv (DG block)", edge, x64)
 
+    def edge_i8(x):
+        x1, x2 = fused_edge_conv(x, a128, a128, k2, b2, k=k,
+                                 negative_slope=0.0, int8_gather=True)
+        return x + 1e-9 * (x1[:, :, :64] + x2[:, :, :64]).astype(x.dtype)
+
+    t("fused_edge_conv int8 (eval)", edge_i8, x64)
+
     def gmax(x):
         o = fused_knn_gather_max(x, a256, k=k)
         return x + 1e-9 * o[:, :, :3].astype(x.dtype)
 
     t("fused_knn_gather_max (SN)", gmax, xyz)
+
+    def gmax_i8(x):
+        o = fused_knn_gather_max(x, a256, k=k, int8_gather=True)
+        return x + 1e-9 * o[:, :, :3].astype(x.dtype)
+
+    t("fused_knn_gather_max int8", gmax_i8, xyz)
 
     def knn_only(x):
         idx = fused_knn(x, k)
