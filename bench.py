@@ -115,11 +115,22 @@ def _peak_bf16_flops():
     return None
 
 
-def _flops_of(jitted_fn, *args):
-    """Analytic FLOPs of one call via XLA cost analysis; None if unavailable
-    (e.g. data-dependent while_loops make the count meaningless)."""
+def _flops_of_step(step_fn, *args):
+    """Analytic FLOPs of ONE step = XLA cost analysis of the jitted step
+    (everything XLA itself compiles) + the trace-time Pallas-kernel
+    supplement. XLA counts custom calls (flash attention, fused kNN /
+    edge-conv) as ZERO flops, so cost analysis alone undercounts exactly
+    the ops this framework moved into kernels; each kernel wrapper
+    reports its algorithmic FLOPs to ops/flop_meter.py at trace time
+    (matmul-shaped work only — see that module for the convention)."""
+    import jax
+
+    from vcrnet_tpu.ops import flop_meter
+
     try:
-        lowered = jitted_fn.lower(*args)
+        with flop_meter.meter() as acc:
+            lowered = jax.jit(step_fn).lower(*args)
+        supplement = acc[0]
         ca = None
         try:
             ca = lowered.cost_analysis()
@@ -129,8 +140,9 @@ def _flops_of(jitted_fn, *args):
             ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
+        xla = float(ca.get("flops", 0.0)) if ca else 0.0
+        total = max(xla, 0.0) + supplement
+        return total if total > 0 else None
     except Exception:
         return None
 
@@ -158,13 +170,7 @@ def _time_chained(make_chained, arg, t_short, t_long, reps: int = 5):
     dt = float(np.median(deltas))
     if dt <= 0:  # tunnel noise swamped the differencing; retry signal
         raise RuntimeError(f"non-positive step delta {dt}")
-
-    f_long = _flops_of(fns[t_long], arg)
-    f_short = _flops_of(fns[t_short], arg)
-    flops = None
-    if f_long and f_short and f_long > f_short:
-        flops = (f_long - f_short) / (t_long - t_short)
-    return dt, flops
+    return dt
 
 
 def _result_row(batch: int, dt: float, flops_per_step) -> dict:
@@ -233,7 +239,8 @@ def bench_protocol(
 
         return jax.jit(chained)
 
-    dt, flops = _time_chained(make_chained, src_d, t_short, t_long, reps)
+    dt = _time_chained(make_chained, src_d, t_short, t_long, reps)
+    flops = _flops_of_step(lambda s: fwd(variables, s, tgt_d), src_d)
     return _result_row(batch, dt, flops)
 
 
@@ -274,7 +281,10 @@ def _bench_train_family(cfg, batch: int, reps: int = 5) -> dict:
 
         return jax.jit(chained)
 
-    dt, flops = _time_chained(make_chained, state, 1, 5, reps)
+    dt = _time_chained(make_chained, state, 1, 5, reps)
+    flops = _flops_of_step(
+        lambda s: trainer._train_step_impl(s, dev), state
+    )
     return _result_row(batch, dt, flops)
 
 
@@ -329,7 +339,8 @@ def bench_dcp_eval(batch: int = 64, reps: int = 5) -> dict:
 
         return jax.jit(chained)
 
-    dt, flops = _time_chained(make_chained, src_d, 2, 8, reps)
+    dt = _time_chained(make_chained, src_d, 2, 8, reps)
+    flops = _flops_of_step(lambda s: model.apply(variables, s, tgt_d), src_d)
     return _result_row(batch, dt, flops)
 
 
@@ -367,8 +378,10 @@ def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
 
         return jax.jit(chained)
 
-    dt, flops = _time_chained(make_chained, src_d, 1, 3, reps)
-    return _result_row(batch, dt, flops)
+    # MFU omitted: the data-dependent while_loop (tolerance break) makes a
+    # static per-step FLOP count meaningless
+    dt = _time_chained(make_chained, src_d, 1, 3, reps)
+    return _result_row(batch, dt, None)
 
 
 def _best_over_batches(partial: bool, n_iter: int, batches) -> dict:

@@ -30,6 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
+from vcrnet_tpu.ops import flop_meter
+
 
 def _block_sizes(nq: int, nk: int) -> "fa.BlockSizes":
     bq = next(t for t in (1024, 512, 256, 128) if nq % t == 0)
@@ -212,6 +214,9 @@ def _attn_fwd(q, k, v, sm_scale, nk_valid):
 
 def _attn_bwd(sm_scale, nk_valid, res, do):
     q, k, v, o, lse = res
+    B, H, nq, d = q.shape
+    # score recompute + dV/dP/dQ/dK matmuls: 5 score-shaped passes
+    flop_meter.add(flop_meter.attention(B, H, nq, k.shape[2], d, passes=5.0))
     return _bwd_fused(q, k, v, o, lse, do, sm_scale, nk_valid)
 
 
@@ -224,6 +229,7 @@ def flash_mha(q, k, v, sm_scale: float):
     by padding (padded keys masked, padded query rows sliced off)."""
     B, H, nq, d = q.shape
     nk = k.shape[2]
+    flop_meter.add(flop_meter.attention(B, H, nq, nk, d))
     pad_q = (-nq) % 128
     pad_k = (-nk) % 128
     if pad_q:

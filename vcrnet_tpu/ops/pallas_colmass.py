@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vcrnet_tpu.ops import flop_meter
+
 
 def _stats_kernel(q_ref, k_ref, m_out, l_out, m_scr, l_scr,
                   *, scale: float, n_k_tiles: int):
@@ -86,6 +88,8 @@ def softmax_colmass(
     softmax_rows(q @ k^T * scale), without materialising [G, Nq, Nk]."""
     G, Nq, D = q.shape
     Nk = k.shape[1]
+    # two score passes (stats, then colmass), no value matmul
+    flop_meter.add(flop_meter.attention(G, 1, Nq, Nk, D, passes=2.0))
     tq, tk = _tile(Nq, tile_q), _tile(Nk, tile_k)
 
     m, l = pl.pallas_call(

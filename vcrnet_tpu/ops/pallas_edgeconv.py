@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vcrnet_tpu.ops import flop_meter
+
 # Deferred-gather variant of the fused forward kernels: run the k-step
 # selection loop FIRST (VPU-only), then all gathers + the convDG2 conv as
 # single large MXU matmuls (the structure of the from-idx/backward
@@ -665,6 +667,7 @@ def edge_conv_from_idx(
     EVAL ONLY — no VJP (training never reuses a selection)."""
     B, N, k = idx.shape
     F = a.shape[-1]
+    flop_meter.add(flop_meter.matmul(B * N, F, F))
     tile_q = _pick_tile(N, tile_q)
     # the full [k*TQ, N] one-hot is materialised (no fori_loop)
     tile_q = _vmem_guard_tile(
@@ -836,6 +839,8 @@ def _fused_edge_conv_bwd(
     idx, win1, win2, a, h, w2, b2, x2, zero_x = res
     ct1, ct2 = cts
     B, N, F = a.shape
+    # dW2 = x^T ct and the ct @ w2^T routing matmul
+    flop_meter.add(flop_meter.matmul(B * N, F, F, 2.0))
     tile_q = _pick_tile(N, tile_q)
     # the backward materialises the full [k*TQ, N] one-hot (no fori_loop).
     # 6 MB budget: keeps the proven tile 128 at (k=20, N=1024, bf16)
@@ -911,6 +916,10 @@ def _fused_edge_conv_fwd_impl(
         )
     B, N, C = x.shape
     F = a.shape[-1]
+    # distance matrix + the in-kernel w2 conv (one [N,F]x[F,F] per cloud)
+    flop_meter.add(
+        flop_meter.pairwise_dist(B, N, N, C) + flop_meter.matmul(B * N, F, F)
+    )
     tile_q = _pick_tile(N, tile_q)
     if deferred_gather:
         # the deferred kernel materialises the [k*TQ, N] one-hot
@@ -1156,6 +1165,7 @@ def _fused_gather_max_impl(
         )
     B, N, C = x.shape
     F = values.shape[-1]
+    flop_meter.add(flop_meter.pairwise_dist(B, N, N, C))
     tile_q = _pick_tile(N, tile_q)
     if deferred_gather:
         tile_q = _vmem_guard_tile(

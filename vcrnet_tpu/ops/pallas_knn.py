@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vcrnet_tpu.ops import flop_meter
+
 
 def _knn_kernel(
     x_q_ref, x_k_ref, norms_ref, out_ref, *, k: int, tile_q: int,
@@ -88,6 +90,7 @@ def _fused_knn_impl(
     packed_select: bool = True,
 ) -> jax.Array:
     B, N, C = x.shape
+    flop_meter.add(flop_meter.pairwise_dist(B, N, N, C))
     if N % tile_q != 0:
         # largest divisor tile >= 8 (Mosaic sublane constraint)
         tile_q = next(t for t in (128, 64, 32, 16, 8) if N % t == 0)
