@@ -193,6 +193,26 @@ class MultiHeadAttention(nn.Module):
                     query, key, wq, bq, wk, bk, wv, bv, wo, bo, n_heads=h
                 )
 
+        if (
+            self.flash and not self.remask and not train
+            and not self.capture_attention and not self.is_initializing()
+            and os.environ.get("VCRNET_PACKED_FLASH", "1") == "1"
+        ):
+            from vcrnet_tpu.ops.pallas_attention import (
+                flash_mha_packed, flash_packed_supported,
+            )
+
+            if flash_packed_supported(Nq, Nk, self.d_model, h):
+                # packed-head flash: q/k/v stay [B, N, H*dk] end to end.
+                # The head-split around flash_mha is free on the input
+                # side (bitcast) but the transpose BACK materialises as
+                # layout copies in the optimized HLO — this path removes
+                # them (see flash_mha_packed docstring).
+                x = flash_mha_packed(
+                    dq(query), dk_m(key), dv(value), 1.0 / (d_k**0.5), h
+                )
+                return dout(x)
+
         def heads_of(y):
             return y.reshape(B, -1, h, d_k).transpose(0, 2, 1, 3)  # [B,H,N,dk]
 

@@ -223,6 +223,127 @@ def _attn_bwd(sm_scale, nk_valid, res, do):
 _attn_vjp.defvjp(_attn_fwd, _attn_bwd)
 
 
+def _fwd_packed_kernel(q_ref, k_ref, v_ref, out_ref, *, sm_scale: float):
+    q = q_ref[0]  # [TQ, dk]
+    k = k_ref[0]  # [NK, dk]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),  # q @ k^T -> [TQ, NK]
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = (o / l).astype(out_ref.dtype)
+
+
+def flash_packed_supported(nq: int, nk: int, d_model: int,
+                           n_heads: int) -> bool:
+    dk = d_model // n_heads
+    if d_model % n_heads or dk % 128 or nq % 128 or nk % 128:
+        return False
+    # one-shot: k/v for one head + the f32 score/exp tiles must fit VMEM
+    return _packed_tile_q(nq, nk) is not None
+
+
+def _packed_tile_q(nq: int, nk: int):
+    return next(
+        (
+            t for t in (1024, 512, 256, 128)
+            if nq % t == 0 and t * nk * 8 <= 8 * 1024 * 1024
+        ),
+        None,
+    )
+
+
+def _flash_packed_impl(q, k, v, sm_scale: float, n_heads: int,
+                       interpret: bool = False):
+    B, nq, d_model = q.shape
+    nk = k.shape[1]
+    dk = d_model // n_heads
+    tile_q = _packed_tile_q(nq, nk)
+    kernel = functools.partial(_fwd_packed_kernel, sm_scale=sm_scale)
+    # heads are COLUMN BLOCKS of the packed [B, N, H*dk] activations; the
+    # t axis is innermost so each head's k/v block stays resident across
+    # its q tiles
+    q_spec = pl.BlockSpec(
+        (1, tile_q, dk), lambda b, h, t: (b, t, h), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, nk, dk), lambda b, h, t: (b, 0, h), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_heads, nq // tile_q),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nq, d_model), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_mha_packed(q, k, v, sm_scale: float, n_heads: int):
+    """Flash attention over PACKED head layout: q [B, Nq, H*dk],
+    k/v [B, Nk, H*dk] -> [B, Nq, H*dk], heads as column blocks.
+
+    Why this exists: the [B,N,H*dk] -> [B,H,N,dk] head-split around
+    ``flash_mha`` is free on the INPUT side (XLA lowers it to a bitcast
+    of the projection output) but the post-attention transpose back
+    MATERIALISES as a layout copy — the optimized pointer HLO carries 4x
+    ``copy(bf16[64,1024,4,128])`` plus layout-conversion copies around
+    the custom calls (Pallas calls cannot absorb XLA transposes). This
+    kernel reads each head as a column block of the packed activation
+    and writes the packed layout directly, so projections feed straight
+    in and the out-projection consumes the result with no copy.
+
+    Gate with flash_packed_supported(). Differentiation falls back to
+    the transposed library path (identical math to ``flash_mha``; the
+    primal packed kernel and the library forward agree to bf16
+    rounding), reusing the one-pass fused backward."""
+    flop_meter.add(
+        flop_meter.attention(
+            q.shape[0], n_heads, q.shape[1], k.shape[1],
+            q.shape[2] // n_heads,
+        )
+    )
+    return _flash_packed_impl(q, k, v, sm_scale, n_heads)
+
+
+def _packed_split(x, n_heads: int):
+    B, n, d_model = x.shape
+    dk = d_model // n_heads
+    return x.reshape(B, n, n_heads, dk).transpose(0, 2, 1, 3)
+
+
+def _packed_merge(x4):
+    B, H, n, dk = x4.shape
+    return x4.transpose(0, 2, 1, 3).reshape(B, n, H * dk)
+
+
+def _flash_packed_fwd(q, k, v, sm_scale: float, n_heads: int):
+    q4, k4, v4 = (_packed_split(x, n_heads) for x in (q, k, v))
+    nk = k4.shape[2]
+    o4, lse = _fwd_library(q4, k4, v4, sm_scale, nk, save=True)
+    return _packed_merge(o4), (q4, k4, v4, o4, lse)
+
+
+def _flash_packed_bwd(sm_scale, n_heads, res, do):
+    q4, k4, v4, o4, lse = res
+    B, H, nq, d = q4.shape
+    flop_meter.add(flop_meter.attention(B, H, nq, k4.shape[2], d, passes=5.0))
+    do4 = _packed_split(do, n_heads)
+    dq4, dk4, dv4 = _bwd_fused(q4, k4, v4, o4, lse, do4, sm_scale, k4.shape[2])
+    return _packed_merge(dq4), _packed_merge(dk4), _packed_merge(dv4)
+
+
+flash_mha_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
 def flash_mha(q, k, v, sm_scale: float):
     """Flash attention [B, H, Nq, D] x [B, H, Nk, D] -> [B, H, Nq, D] with
     the fused one-pass backward. Handles non-lane-multiple sequence lengths
