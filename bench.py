@@ -16,21 +16,38 @@ default config), fast TPU profile (bf16 MXU matmuls, fused Pallas kernels,
 flash attention; accuracy parity vs exact f32 validated in
 tests/test_fastpath.py and benchmarks/parity_report.py).
 
-Each config also carries an MFU estimate: analytic FLOPs from XLA cost
-analysis (differenced across the two chained-scan lengths, so fixed
-overhead cancels) divided by measured step time and the chip's peak bf16
-FLOP/s (device_kind table; override with VCRNET_PEAK_BF16_FLOPS).
+TIME BUDGET (round-3 lesson: a bench that times out produces NOTHING).
+The whole run operates under one wall-clock deadline
+(VCRNET_BENCH_DEADLINE_S, default 1500 s):
+  * each eval protocol runs ONE known-good batch size (64) by default;
+    the 4-size sweep is behind ``--sweep``;
+  * the TPU-responsiveness probe's retry window is clipped to fit the
+    deadline;
+  * a COMPLETE cumulative JSON result line is printed (flushed) after
+    EVERY config finishes — if the driver kills the run mid-way, the last
+    line on stdout is still a parseable partial result;
+  * configs that would start with too little time left are marked
+    ``{"skipped": "deadline"}`` instead of silently hanging;
+  * per-step FLOPs come from the SAME AOT-compiled chained executables
+    used for timing (cost-analysis differenced across the two scan
+    lengths + the trace-time Pallas supplement) — no second lower+compile.
 
-``python bench.py --accuracy`` instead prints a per-protocol rot/trans
-RMSE table (fast profile vs exact-f32, pretrained embedding, deterministic
-synthetic eval set) so throughput claims carry their accuracy.
+Each config carries an MFU estimate: analytic FLOPs divided by measured
+step time and the chip's peak bf16 FLOP/s (device_kind table; override
+with VCRNET_PEAK_BF16_FLOPS).
 
-Prints ONE JSON line. Headline value = whole_iter1 pairs/s/chip (the
-reference's test default); per-config numbers in "configs". The driver
-north star is >=5,000 eval pairs/sec on a v5e-8 at reference RMSE, i.e.
-625 pairs/sec/chip; eval data parallelism has no cross-batch coupling, so
-per-chip is the honest unit (multi-chip sharding is validated separately
-by the driver's dryrun_multichip).
+The final result also carries a compact ``accuracy`` block (fast profile
+vs exact-f32 rot/trans RMSE per protocol, pretrained embedding,
+deterministic synthetic eval set) when the deadline allows, so throughput
+claims ship with their accuracy. ``python bench.py --accuracy`` runs the
+fuller standalone report.
+
+Prints cumulative JSON lines; the LAST line is the complete result.
+Headline value = whole_iter1 pairs/s/chip (the reference's test default).
+The driver north star is >=5,000 eval pairs/sec on a v5e-8 at reference
+RMSE, i.e. 625 pairs/sec/chip; eval data parallelism has no cross-batch
+coupling, so per-chip is the honest unit (multi-chip sharding is
+validated separately by the driver's dryrun_multichip).
 
 Timing note: on this tunnel-backed platform a host fetch costs ~30 ms RTT
 and ``block_until_ready`` does not reliably wait, so per-call timing
@@ -61,6 +78,18 @@ NORTH_STAR = 625.0  # eval pairs/s/chip
 # eval protocols count toward the north star; the others are reported with
 # MFU only (the north star is an eval-throughput target)
 _EVAL_CONFIGS = ("whole_iter1", "whole_iter3", "partial_iter3")
+
+# wall-clock budget state (set in main); None = no deadline (library use)
+_DEADLINE = None
+_MIN_CONFIG_S = 150.0    # don't START a config with less than this left
+_ACCURACY_MIN_S = 300.0  # don't start the accuracy block with less
+# (the block also degrades per-protocol as the deadline nears)
+
+
+def _remaining() -> float:
+    if _DEADLINE is None:
+        return float("inf")
+    return _DEADLINE - time.monotonic()
 
 
 def _reuse_knob() -> dict:
@@ -115,66 +144,83 @@ def _peak_bf16_flops():
     return None
 
 
-def _flops_of_step(step_fn, *args):
-    """Analytic FLOPs of ONE step = XLA cost analysis of the jitted step
-    (everything XLA itself compiles) + the trace-time Pallas-kernel
-    supplement. XLA counts custom calls (flash attention, fused kNN /
-    edge-conv) as ZERO flops, so cost analysis alone undercounts exactly
-    the ops this framework moved into kernels; each kernel wrapper
-    reports its algorithmic FLOPs to ops/flop_meter.py at trace time
-    (matmul-shaped work only — see that module for the convention)."""
+def _exe_flops(lowered, exe):
+    """XLA-counted FLOPs of one compiled chained executable, or None."""
+    for obj in (lowered, exe):
+        try:
+            ca = obj.cost_analysis()
+        except Exception:
+            continue
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if ca and float(ca.get("flops", 0.0)) > 0:
+            return float(ca["flops"])
+    return None
+
+
+def _time_chained(
+    make_chained, arg, t_short, t_long, reps: int = 5,
+    measure_flops: bool = True,
+):
+    """AOT-compile the UNJITTED chained(T) function for two scan lengths,
+    time both, and return ``(seconds_per_step, flops_per_step_or_None)``.
+
+    ``make_chained(T)`` must return a plain function of ``arg`` whose
+    output keeps all per-step work live (no DCE-able tails). FLOPs come
+    from the SAME compiled executables used for timing — no second
+    lower+compile. XLA cost analysis counts a scan/while body ONCE
+    regardless of trip count (verified on this jax), so the chained
+    executable's count IS per-step already; if the compiler instead
+    unrolled the loop (counts scaling with T), the two-length difference
+    recovers the per-step figure. The trace-time Pallas supplement is
+    added on top (XLA counts custom calls as zero; each kernel wrapper
+    reports its algorithmic FLOPs to ops/flop_meter.py once per call
+    site — the scan body traces once, so the supplement is already
+    per-step)."""
     import jax
 
     from vcrnet_tpu.ops import flop_meter
 
-    try:
-        with flop_meter.meter() as acc:
-            lowered = jax.jit(step_fn).lower(*args)
-        supplement = acc[0]
-        ca = None
-        try:
-            ca = lowered.cost_analysis()
-        except Exception:
-            pass
-        if not ca:
-            ca = lowered.compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        xla = float(ca.get("flops", 0.0)) if ca else 0.0
-        total = max(xla, 0.0) + supplement
-        return total if total > 0 else None
-    except Exception:
-        return None
-
-
-def _time_chained(make_chained, arg, t_short, t_long, reps: int = 5):
-    """Compile chained(T) for two scan lengths, time both, return
-    (seconds_per_step, flops_per_step_or_None) from the T-differences.
-
-    ``make_chained(T)`` must return a JITTED function of ``arg`` whose
-    output keeps all per-step work live (no DCE-able tails)."""
-    import jax
-
-    fns = {}
+    exes, xla_flops = {}, {}
+    supplement = 0.0
     for T in (t_short, t_long):
-        fns[T] = make_chained(T)
-        jax.tree_util.tree_map(np.asarray, fns[T](arg))  # compile + warm
+        with flop_meter.meter() as acc:
+            lowered = jax.jit(make_chained(T)).lower(arg)
+        supplement = acc[0]
+        exes[T] = lowered.compile()
+        if measure_flops:
+            xla_flops[T] = _exe_flops(lowered, exes[T])
+        jax.tree_util.tree_map(np.asarray, exes[T](arg))  # warm
     deltas = []
     for _ in range(reps):
         timed = {}
         for T in (t_short, t_long):
             t0 = time.perf_counter()
-            jax.tree_util.tree_map(np.asarray, fns[T](arg))
+            jax.tree_util.tree_map(np.asarray, exes[T](arg))
             timed[T] = time.perf_counter() - t0
         deltas.append((timed[t_long] - timed[t_short]) / (t_long - t_short))
     dt = float(np.median(deltas))
     if dt <= 0:  # tunnel noise swamped the differencing; retry signal
         raise RuntimeError(f"non-positive step delta {dt}")
-    return dt
+    flops = None
+    if measure_flops:
+        xs, xl = xla_flops.get(t_short), xla_flops.get(t_long)
+        if xs and xl:
+            if xl > xs * 1.25:  # unrolled: counts scale with T
+                flops = (xl - xs) / (t_long - t_short) + supplement
+            else:  # scan body counted once → already per-step
+                flops = xs + supplement
+        elif supplement > 0:
+            flops = supplement
+    return dt, flops
 
 
 def _result_row(batch: int, dt: float, flops_per_step) -> dict:
-    row = {"pairs_per_sec_per_chip": round(batch / dt, 2)}
+    row = {
+        "pairs_per_sec_per_chip": round(batch / dt, 2),
+        "batch": batch,
+        "ms_per_step": round(dt * 1e3, 2),
+    }
     peak = _peak_bf16_flops()
     if flops_per_step and peak:
         row["mfu"] = round(flops_per_step / dt / peak, 4)
@@ -237,10 +283,9 @@ def bench_protocol(
             s, _ = jax.lax.scan(body, s0, None, length=T)
             return s.ravel()[0]
 
-        return jax.jit(chained)
+        return chained
 
-    dt = _time_chained(make_chained, src_d, t_short, t_long, reps)
-    flops = _flops_of_step(lambda s: fwd(variables, s, tgt_d), src_d)
+    dt, flops = _time_chained(make_chained, src_d, t_short, t_long, reps)
     return _result_row(batch, dt, flops)
 
 
@@ -279,12 +324,9 @@ def _bench_train_family(cfg, batch: int, reps: int = 5) -> dict:
             leaf = jax.tree_util.tree_leaves(s.params)[0]
             return losses[-1], leaf.ravel()[0]
 
-        return jax.jit(chained)
+        return chained
 
-    dt = _time_chained(make_chained, state, 1, 5, reps)
-    flops = _flops_of_step(
-        lambda s: trainer._train_step_impl(s, dev), state
-    )
+    dt, flops = _time_chained(make_chained, state, 1, 5, reps)
     return _result_row(batch, dt, flops)
 
 
@@ -337,20 +379,18 @@ def bench_dcp_eval(batch: int = 64, reps: int = 5) -> dict:
             s, _ = jax.lax.scan(body, s0, None, length=T)
             return s.ravel()[0]
 
-        return jax.jit(chained)
+        return chained
 
-    dt = _time_chained(make_chained, src_d, 2, 8, reps)
-    flops = _flops_of_step(lambda s: model.apply(variables, s, tgt_d), src_d)
+    dt, flops = _time_chained(make_chained, src_d, 2, 8, reps)
     return _result_row(batch, dt, flops)
 
 
 def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
     """Classical batched ICP eval (max_iterations=50, tolerance break).
-    MFU is usually omitted here: the data-dependent while_loop makes the
-    static FLOP count meaningless."""
+    MFU is omitted here: the data-dependent while_loop makes a static
+    FLOP count meaningless."""
     import jax
     import jax.numpy as jnp
-    from vcrnet_tpu import geometry
     from vcrnet_tpu.models.icp import icp_register
 
     n = 1024
@@ -376,17 +416,22 @@ def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
             s, _ = jax.lax.scan(body, s0, None, length=T)
             return s.ravel()[0]
 
-        return jax.jit(chained)
+        return chained
 
-    # MFU omitted: the data-dependent while_loop (tolerance break) makes a
-    # static per-step FLOP count meaningless
-    dt = _time_chained(make_chained, src_d, 1, 3, reps)
+    dt, _ = _time_chained(
+        make_chained, src_d, 1, 3, reps, measure_flops=False
+    )
     return _result_row(batch, dt, None)
 
 
 def _best_over_batches(partial: bool, n_iter: int, batches) -> dict:
     best = dict(_FAILED_ROW)
     for batch in batches:
+        if (
+            best["pairs_per_sec_per_chip"] > 0.0
+            and _remaining() < _MIN_CONFIG_S
+        ):
+            break  # keep what we have rather than blow the deadline
         ok = False
         for _attempt in range(2):  # tunnel hiccups happen; retry once
             try:
@@ -439,6 +484,11 @@ def accuracy_report(n_items: int = 96) -> dict:
     }
     out = {}
     for name, pkw in protos.items():
+        # each (protocol, profile) pair is one eval-epoch compile + run;
+        # degrade per-protocol near the deadline instead of all-or-nothing
+        if _remaining() < 2 * 90.0:
+            out[name] = {"skipped": "deadline"}
+            continue
         row = {}
         for profile in ("fast", "exact"):
             kw = dict(
@@ -496,7 +546,8 @@ def _probe_tpu_responsive(timeout_s: float = 240.0) -> None:
     SUBPROCESS so a hang cannot take the parent down with it. Outages are
     often transient (minutes-to-hours), so after the first two fast
     attempts the probe keeps retrying once a minute inside a bounded
-    window (VCRNET_TPU_PROBE_WINDOW_S, default 45 min) before giving up —
+    window (VCRNET_TPU_PROBE_WINDOW_S, default 45 min, CLIPPED to leave
+    room inside the bench deadline when one is active) before giving up —
     a round-end bench run should survive a tunnel flap, not fail on it.
     Set VCRNET_SKIP_TPU_PROBE=1 to bypass (tests monkeypatch this
     function)."""
@@ -508,6 +559,10 @@ def _probe_tpu_responsive(timeout_s: float = 240.0) -> None:
         return
 
     window_s = float(os.environ.get("VCRNET_TPU_PROBE_WINDOW_S", "2700"))
+    if _DEADLINE is not None:
+        # leave most of the deadline for the actual measurements: if the
+        # TPU only comes back with <10 min to spare there is no point
+        window_s = min(window_s, max(60.0, _remaining() - 600.0))
     code = (
         "import numpy as np, jax\n"
         "x = jax.jit(lambda a: a @ a)(np.ones((128, 128), np.float32))\n"
@@ -546,48 +601,87 @@ def _probe_tpu_responsive(timeout_s: float = 240.0) -> None:
 
 
 def main():
+    import os
+
+    global _DEADLINE
+    _DEADLINE = time.monotonic() + float(
+        os.environ.get("VCRNET_BENCH_DEADLINE_S", "1500")
+    )
     _probe_tpu_responsive()  # before EVERY mode — --accuracy is the
     # longest-running one and must not hang silently on a dead tunnel
     if "--accuracy" in sys.argv:
         print(json.dumps({"accuracy": accuracy_report()}))
         return
-    configs = {}
-    configs["whole_iter1"] = _best_over_batches(
-        False, 1, (64, 128, 256, 512)
-    )
-    if configs["whole_iter1"]["pairs_per_sec_per_chip"] == 0.0:
-        # the headline config failed outright — fail fast rather than
-        # spending many more tunnel-TPU minutes on the other protocols
-        raise RuntimeError("headline configuration (whole_iter1) failed")
-    configs["whole_iter3"] = _best_over_batches(False, 3, (64, 128, 256, 512))
-    configs["partial_iter3"] = _best_over_batches(True, 3, (64, 128, 256, 512))
-    # the remaining driver-named baseline configs, one batch size each to
-    # bound tunnel time (VERDICT r2 weak#1: "if it isn't in BENCH_r*.json,
-    # it isn't evidence")
-    configs["vcrnet_train"] = _try_config(bench_vcrnet_train)
-    configs["lpd_pretrain"] = _try_config(bench_lpd_pretrain)
-    configs["dcp_eval"] = _try_config(bench_dcp_eval)
-    configs["icp_eval"] = _try_config(bench_icp_eval)
+    batches = (64, 128, 256, 512) if "--sweep" in sys.argv else (64,)
 
-    for name in _EVAL_CONFIGS:
-        configs[name]["vs_baseline"] = round(
-            configs[name]["pairs_per_sec_per_chip"] / NORTH_STAR, 4
+    configs = {}
+    accuracy = None
+
+    def emit():
+        """Print the full cumulative result (flushed): the driver takes
+        the LAST parseable JSON line, so a killed run still reports
+        everything measured so far."""
+        failed = sorted(
+            k for k, v in configs.items()
+            if v.get("pairs_per_sec_per_chip") == 0.0
         )
-    failed = sorted(
-        k for k, v in configs.items() if v["pairs_per_sec_per_chip"] == 0.0
+        value = configs.get("whole_iter1", {}).get(
+            "pairs_per_sec_per_chip", 0.0
+        )
+        result = {
+            "metric": "modelnet40_vcrnet_eval_pairs_per_sec_per_chip",
+            "value": round(value, 2),
+            "unit": "pairs/s/chip",
+            "vs_baseline": round(value / NORTH_STAR, 4),
+            "configs": configs,
+        }
+        if failed:
+            # make partial failures visible instead of a silent 0.0
+            result["failed_configs"] = failed
+        if accuracy is not None:
+            result["accuracy"] = accuracy
+        print(json.dumps(result), flush=True)
+
+    plan = (
+        ("whole_iter1", lambda: _best_over_batches(False, 1, batches)),
+        ("whole_iter3", lambda: _best_over_batches(False, 3, batches)),
+        ("partial_iter3", lambda: _best_over_batches(True, 3, batches)),
+        ("vcrnet_train", lambda: _try_config(bench_vcrnet_train)),
+        ("lpd_pretrain", lambda: _try_config(bench_lpd_pretrain)),
+        ("dcp_eval", lambda: _try_config(bench_dcp_eval)),
+        ("icp_eval", lambda: _try_config(bench_icp_eval)),
     )
-    value = configs["whole_iter1"]["pairs_per_sec_per_chip"]
-    result = {
-        "metric": "modelnet40_vcrnet_eval_pairs_per_sec_per_chip",
-        "value": round(value, 2),
-        "unit": "pairs/s/chip",
-        "vs_baseline": round(value / NORTH_STAR, 4),
-        "configs": configs,
-    }
-    if failed:
-        # make partial failures visible instead of reporting a silent 0.0
-        result["failed_configs"] = failed
-    print(json.dumps(result))
+    for name, run in plan:
+        if name != "whole_iter1" and _remaining() < _MIN_CONFIG_S:
+            configs[name] = {"skipped": "deadline"}
+            emit()
+            continue
+        configs[name] = run()
+        if name in _EVAL_CONFIGS and "pairs_per_sec_per_chip" in configs[name]:
+            configs[name]["vs_baseline"] = round(
+                configs[name]["pairs_per_sec_per_chip"] / NORTH_STAR, 4
+            )
+        if (
+            name == "whole_iter1"
+            and configs[name]["pairs_per_sec_per_chip"] == 0.0
+        ):
+            # the headline config failed outright — fail fast rather than
+            # spending many more tunnel-TPU minutes on the other protocols
+            emit()
+            raise RuntimeError("headline configuration (whole_iter1) failed")
+        emit()
+
+    # compact accuracy block so throughput claims carry their accuracy
+    # (VERDICT r3 #2); the fuller standalone report is --accuracy
+    if _remaining() > _ACCURACY_MIN_S:
+        try:
+            accuracy = accuracy_report(n_items=48)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            accuracy = {"skipped": "error"}
+    else:
+        accuracy = {"skipped": "deadline"}
+    emit()
 
 
 if __name__ == "__main__":

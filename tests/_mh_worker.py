@@ -31,6 +31,12 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # same persistent CPU compile cache as conftest.py: the three worker
+    # launches compile the SAME 4-device SPMD program, so only the first
+    # run ever pays the XLA compile (this test was the suite's slowest at
+    # 96 s cold)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     if nproc > 1:
         jax.distributed.initialize(
             coordinator_address=f"localhost:{port}",

@@ -109,9 +109,9 @@ def test_best_over_batches_stops_after_failed_batch(monkeypatch):
     assert calls == [64, 128, 128]
 
 
-def test_main_emits_failed_configs_field(monkeypatch, capsys):
+def _mock_all_configs(monkeypatch, partial_fails=True, icp_fails=True):
     def fake_protocol(batch, partial, n_iter, **kw):
-        if partial:
+        if partial and partial_fails:
             raise RuntimeError("tunnel hiccup")
         return {"pairs_per_sec_per_chip": 1000.0, "mfu": 0.25}
 
@@ -129,14 +129,33 @@ def test_main_emits_failed_configs_field(monkeypatch, capsys):
         bench, "bench_dcp_eval",
         lambda: {"pairs_per_sec_per_chip": 2000.0},
     )
+    if icp_fails:
+        monkeypatch.setattr(
+            bench, "bench_icp_eval",
+            lambda: (_ for _ in ()).throw(RuntimeError("hiccup")),
+        )
+    else:
+        monkeypatch.setattr(
+            bench, "bench_icp_eval",
+            lambda: {"pairs_per_sec_per_chip": 500.0},
+        )
     monkeypatch.setattr(
-        bench, "bench_icp_eval",
-        lambda: (_ for _ in ()).throw(RuntimeError("hiccup")),
+        bench, "accuracy_report",
+        lambda n_items=96: {"mocked": True, "n_items": n_items},
     )
+
+
+def test_main_emits_failed_configs_field(monkeypatch, capsys):
+    _mock_all_configs(monkeypatch)
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
-    assert len(out) == 1  # exactly ONE JSON line
-    payload = json.loads(out[0])
+    # incremental driver contract: EVERY line parses as cumulative JSON
+    # (a killed run leaves the latest partial result on stdout), and the
+    # LAST line is the complete payload
+    payloads = [json.loads(line) for line in out]
+    assert len(payloads) == 8  # 7 configs + final accuracy emission
+    assert list(payloads[0]["configs"]) == ["whole_iter1"]
+    payload = payloads[-1]
     assert payload["value"] == 1000.0
     assert payload["vs_baseline"] == pytest.approx(1000.0 / 625.0)
     assert payload["failed_configs"] == ["icp_eval", "partial_iter3"]
@@ -151,6 +170,28 @@ def test_main_emits_failed_configs_field(monkeypatch, capsys):
     assert payload["configs"]["whole_iter1"]["vs_baseline"] == pytest.approx(1.6)
     assert "vs_baseline" not in payload["configs"]["vcrnet_train"]
     assert payload["configs"]["whole_iter1"]["mfu"] == 0.25
+    # the final emission carries the compact accuracy block (n_items=48)
+    assert payload["accuracy"] == {"mocked": True, "n_items": 48}
+    assert "accuracy" not in payloads[-2]
+
+
+def test_main_deadline_skips_trailing_configs(monkeypatch, capsys):
+    # with a zero budget the headline still runs (it is the contract's
+    # one mandatory number), everything after is marked skipped and the
+    # accuracy block is skipped too — but the run COMPLETES with rc=0
+    _mock_all_configs(monkeypatch, partial_fails=False, icp_fails=False)
+    monkeypatch.setenv("VCRNET_BENCH_DEADLINE_S", "0")
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["value"] == 1000.0
+    for name in (
+        "whole_iter3", "partial_iter3", "vcrnet_train",
+        "lpd_pretrain", "dcp_eval", "icp_eval",
+    ):
+        assert payload["configs"][name] == {"skipped": "deadline"}, name
+    assert payload["accuracy"] == {"skipped": "deadline"}
+    assert "failed_configs" not in payload  # skipped != failed
 
 
 def test_main_fails_fast_when_headline_fails(monkeypatch):
