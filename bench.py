@@ -388,7 +388,10 @@ def bench_dcp_eval(batch: int = 64, reps: int = 5) -> dict:
 def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
     """Classical batched ICP eval (max_iterations=50, tolerance break).
     MFU is omitted here: the data-dependent while_loop makes a static
-    FLOP count meaningless."""
+    FLOP count meaningless. The tolerance break converges the synthetic
+    pairs in a handful of iterations, so the per-step time is ~ms-scale;
+    long chains (2 vs 20) keep the differencing above tunnel jitter
+    (round-4 lesson: (1,3) chains reported a noise-floor 0.08 ms/step)."""
     import jax
     import jax.numpy as jnp
     from vcrnet_tpu.models.icp import icp_register
@@ -419,7 +422,7 @@ def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
         return chained
 
     dt, _ = _time_chained(
-        make_chained, src_d, 1, 3, reps, measure_flops=False
+        make_chained, src_d, 2, 20, reps, measure_flops=False
     )
     return _result_row(batch, dt, None)
 
@@ -463,26 +466,51 @@ def _try_config(fn, *args) -> dict:
 
 def accuracy_report(n_items: int = 96) -> dict:
     """Per-protocol rot/trans RMSE under the BENCHED fast profile and the
-    exact-f32 path (pretrained LPDNet embedding, deterministic synthetic
-    eval set from the reference-parity pipeline) — so the throughput claims
-    carry their accuracy. End-task absolute RMSE on real ModelNet40 needs
-    the real h5 + a trained head (docs/RUNBOOK_MODELNET40.md); this block
-    proves the SPEED knobs don't move the metrics (delta columns)."""
+    exact-f32 path (deterministic synthetic eval set from the
+    reference-parity pipeline) — so the throughput claims carry their
+    accuracy. Weights: the committed TRAINED checkpoint
+    (checkpoints/pretrained/vcrnet_shapes_best.msgpack, the round-4
+    30-epoch shapes run) when present, else the converted pretrained
+    LPDNet embedding alone. The trained weights matter beyond optics: an
+    untrained pointer leaves the partial protocol's hard top-k selections
+    at near-ties, where bf16-vs-f32 flips amplify into degree-scale metric
+    deltas that say nothing about the fast path (round-4 finding: 6.4 deg
+    apparent delta with random pointer weights vs <=0.1 deg trained)."""
+    import os
+
     import jax
+    from flax import serialization
     from vcrnet_tpu.config import Config
     from vcrnet_tpu.data import SyntheticDataset, Loader
     from vcrnet_tpu.train import Trainer
     from vcrnet_tpu.train.checkpoint import (
-        load_t7_lpdnet, merge_pretrained_embedding,
+        load_t7_lpdnet, merge_params, merge_pretrained_embedding,
     )
 
     t7 = "/root/reference/pretrained/lpd-pretrained.t7"
+    trained = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "checkpoints", "pretrained", "vcrnet_shapes_best.msgpack",
+    )
+    trained_params = None
+    if os.path.exists(trained):
+        with open(trained, "rb") as f:
+            trained_params = serialization.msgpack_restore(f.read())
     protos = {
         "whole_iter1": dict(iter=1),
         "whole_iter3": dict(iter=3),
         "partial_iter3": dict(iter=3, partial=True, overlap=0.575),
     }
-    out = {}
+    out = {
+        "weights": (
+            "trained_checkpoint" if trained_params is not None
+            else "pretrained_embedding_only"
+        ),
+        "eval_set": (
+            "synthetic_shapes" if trained_params is not None
+            else "synthetic_uniform"
+        ),
+    }
     for name, pkw in protos.items():
         # each (protocol, profile) pair is one eval-epoch compile + run;
         # degrade per-protocol near the deadline instead of all-or-nothing
@@ -501,8 +529,12 @@ def accuracy_report(n_items: int = 96) -> dict:
                 )
             cfg = Config(**kw)
             trainer = Trainer(cfg)
+            # eval on the distribution the committed checkpoint was trained
+            # on (synthetic shapes, the round-4 30-epoch run) so absolute
+            # RMSE is meaningful; uniform noise otherwise (delta-only mode)
             ds = SyntheticDataset(
-                cfg, "test", n_items=n_items, cloud_points=2048
+                cfg, "test", n_items=n_items, cloud_points=2048,
+                kind="shapes" if trained_params is not None else "uniform",
             )
             loader = Loader(
                 ds, cfg.test_batch_size, shuffle=False, drop_last=False
@@ -510,11 +542,19 @@ def accuracy_report(n_items: int = 96) -> dict:
             state = trainer.init_state(
                 jax.random.PRNGKey(cfg.seed), next(iter(loader))
             )
-            state = state.replace(
-                params=merge_pretrained_embedding(
-                    state.params, load_t7_lpdnet(t7)
+            if trained_params is not None:
+                state = state.replace(
+                    params=merge_params(
+                        serialization.to_state_dict(state.params),
+                        trained_params,
+                    )
                 )
-            )
+            else:
+                state = state.replace(
+                    params=merge_pretrained_embedding(
+                        state.params, load_t7_lpdnet(t7)
+                    )
+                )
             s = trainer.eval_epoch(state, loader)
             row[profile] = {
                 "rot_RMSE_deg": round(float(s["rot_ab_RMSE"]), 4),

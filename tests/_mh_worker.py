@@ -19,9 +19,12 @@ def main():
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
     port = sys.argv[3]
-    # identical GLOBAL device count (4) either way, so the compiled SPMD
-    # program — and therefore the float reduction order — is identical
-    local_devices = 2 if nproc > 1 else 4
+    # identical GLOBAL device count (2) either way, so the compiled SPMD
+    # program — and therefore the float reduction order — is identical.
+    # (2 devices, not 4: the SPMD compile dominates this test's wall time
+    # on the 1-CPU box — 96 s cold at 4 devices, and three processes each
+    # pay it; 2 devices still exercises the real cross-process feed.)
+    local_devices = 1 if nproc > 1 else 2
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}"
     )
@@ -49,7 +52,7 @@ def main():
     from vcrnet_tpu.config import Config
     from vcrnet_tpu.train.engine import Trainer
 
-    assert jax.device_count() == 4
+    assert jax.device_count() == 2
     cfg = Config(num_points=32, emb_dims=32, ff_dims=64, batch_size=8)
 
     b, n = 8, cfg.num_points

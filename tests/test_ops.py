@@ -566,7 +566,10 @@ class TestStreamingVcp:
         out = streaming_soft_correspondence(
             se, te, tgt, tile_q=64, tile_k=64, interpret=True
         )
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        # the kernel's p @ v pass runs as bf16 hi+lo splits (3 bf16 MXU
+        # matmuls instead of one 8x-slower f32 dot); the dropped lo x lo
+        # term bounds the error at ~2^-18 relative — atol reflects that
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
 def test_knn_auto_rejects_non_tileable_n():

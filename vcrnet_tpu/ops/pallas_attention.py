@@ -251,9 +251,19 @@ def flash_packed_supported(nq: int, nk: int, d_model: int,
 
 
 def _packed_tile_q(nq: int, nk: int):
+    """Largest q tile whose f32 score/exp blocks fit VMEM. One-shot (1024)
+    A/B'd best at the protocol shapes; VCRNET_FLASH_TILE_Q caps the ladder
+    for re-A/B (smaller tiles = more programs = more cross-program
+    MXU/VPU pipelining, at the cost of re-reading k/v per tile)."""
+    import os
+
+    cap = int(os.environ.get("VCRNET_FLASH_TILE_Q", "0") or 0)
+    ladder = (1024, 512, 256, 128)
+    if cap:
+        ladder = tuple(t for t in ladder if t <= cap) or (128,)
     return next(
         (
-            t for t in (1024, 512, 256, 128)
+            t for t in ladder
             if nq % t == 0 and t * nk * 8 <= 8 * 1024 * 1024
         ),
         None,

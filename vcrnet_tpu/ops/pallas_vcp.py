@@ -27,8 +27,8 @@ _LANES = 128
 
 
 def _vcp_kernel(
-    q_ref, k_ref, v_ref, norms_ref, out_ref, m_ref, l_ref, acc_ref,
-    *, n_k_tiles: int,
+    q_ref, k_ref, vhi_ref, vlo_ref, norms_ref, out_ref, m_ref, l_ref,
+    acc_ref, *, n_k_tiles: int,
 ):
     j = pl.program_id(2)
 
@@ -38,9 +38,10 @@ def _vcp_kernel(
         l_ref[:] = jnp.zeros_like(l_ref[:])
         acc_ref[:] = jnp.zeros_like(acc_ref[:])
 
-    q = q_ref[0]  # [TQ, E]
-    k = k_ref[0]  # [TK, E]
-    v = v_ref[0]  # [TK, LANES] (xyz padded to lane width)
+    q = q_ref[0]    # [TQ, E]
+    k = k_ref[0]    # [TK, E]
+    vhi = vhi_ref[0]  # [TK, LANES] bf16 high half of the padded xyz
+    vlo = vlo_ref[0]  # [TK, LANES] bf16 residual (v - vhi)
 
     s = 2.0 * jnp.dot(
         q, k.T, preferred_element_type=jnp.float32
@@ -51,11 +52,21 @@ def _vcp_kernel(
     m_cur = s.max(axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)  # [TQ, 1]
-    p = jnp.exp(s - m_new)  # [TQ, TK]
+    p = jnp.exp(s - m_new)  # [TQ, TK] f32
     l_new = alpha * l_prev + p.sum(axis=1, keepdims=True)
 
-    acc = acc_ref[:] * alpha + jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    # p @ v on the MXU at the bf16 rate (an f32 x f32 dot here ran ~8x
+    # slower and cost ~0.5 ms/call at protocol shapes): both operands are
+    # split hi+lo in bf16 and the (lo x lo) term dropped — 3 bf16 passes,
+    # combined error ~2^-18 relative, far below the bf16 score noise.
+    phi = p.astype(jnp.bfloat16)
+    plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    acc = (
+        acc_ref[:] * alpha
+        + jnp.dot(phi, vhi, preferred_element_type=f32)
+        + jnp.dot(phi, vlo, preferred_element_type=f32)
+        + jnp.dot(plo, vhi, preferred_element_type=f32)
     )
     acc_ref[:] = acc
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -84,13 +95,18 @@ def streaming_soft_correspondence(
     )
     n_k_tiles = Nt // tile_k
 
-    # pad xyz values to lane width so the accumulator tiles cleanly
+    # pad xyz values to lane width so the accumulator tiles cleanly; split
+    # hi+lo in bf16 so the kernel's p @ v pass runs at the bf16 MXU rate
     v = jnp.pad(tgt.astype(jnp.float32), ((0, 0), (0, 0), (0, _LANES - 3)))
+    v_hi = v.astype(jnp.bfloat16)
+    v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     norms = jnp.sum(
         tgt_emb.astype(jnp.float32) ** 2, axis=-1
     )[:, None, :]  # [B, 1, Nt]
 
     kernel = functools.partial(_vcp_kernel, n_k_tiles=n_k_tiles)
+    vspec = pl.BlockSpec((1, tile_k, _LANES), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(B, Ns // tile_q, n_k_tiles),
@@ -99,8 +115,8 @@ def streaming_soft_correspondence(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_k, E), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_k, _LANES), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
+            vspec,
+            vspec,
             pl.BlockSpec((1, 1, tile_k), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -115,5 +131,5 @@ def streaming_soft_correspondence(
             pltpu.VMEM((tile_q, _LANES), jnp.float32),  # acc
         ],
         interpret=interpret,
-    )(src_emb, tgt_emb, v, norms)
+    )(src_emb, tgt_emb, v_hi, v_lo, norms)
     return out[:, :, :3]
