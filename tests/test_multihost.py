@@ -130,15 +130,10 @@ def test_two_process_train_step_integration():
             env=env,
         )
 
-    procs = [launch(0, 2), launch(1, 2)]
-    results = []
-    for p in procs:
-        out, err = p.communicate(timeout=420)
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
-        assert line, f"no RESULT line:\n{out}\n{err[-2000:]}"
-        results.append(json.loads(line[0][len("RESULT "):]))
-
+    # single-process reference FIRST: it compiles the 2-global-device SPMD
+    # program alone and populates the shared persistent cache, so the two
+    # concurrent workers (which would otherwise BOTH pay the compile,
+    # thrashing this 1-CPU box) can hit it
     ref_proc = launch(0, 1)
     out, err = ref_proc.communicate(timeout=420)
     assert ref_proc.returncode == 0, f"reference failed:\n{err[-3000:]}"
@@ -147,6 +142,15 @@ def test_two_process_train_step_integration():
             len("RESULT "):
         ]
     )
+
+    procs = [launch(0, 2), launch(1, 2)]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"no RESULT line:\n{out}\n{err[-2000:]}"
+        results.append(json.loads(line[0][len("RESULT "):]))
 
     assert results[0]["process_count"] == 2
     assert results[1]["process_count"] == 2
