@@ -571,6 +571,76 @@ class TestStreamingVcp:
         # term bounds the error at ~2^-18 relative — atol reflects that
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
+    def test_vjp_value_and_grads_match_xla(self):
+        """The differentiable streaming path (train): forward equals the
+        XLA whole-mode correspondence and ALL THREE input cotangents match
+        jax.grad of the XLA formulation (same loss), in interpret mode."""
+        import jax
+        from vcrnet_tpu.ops.pallas_vcp import soft_correspondence_vjp
+        from vcrnet_tpu.models.heads import vcp_top_k_whole
+
+        rng = np.random.RandomState(7)
+        B, Ns, Nt, E = 2, 128, 256, 32
+        se = jnp.asarray(rng.randn(B, Ns, E).astype(np.float32))
+        te = jnp.asarray(rng.randn(B, Nt, E).astype(np.float32))
+        src = jnp.asarray(rng.randn(B, Ns, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(B, Nt, 3).astype(np.float32))
+        w = jnp.asarray(rng.randn(B, Ns, 3).astype(np.float32))
+
+        def loss_ref(se, te, tgt):
+            _, corr = vcp_top_k_whole(se, te, src, tgt)
+            return jnp.sum(w * corr)
+
+        def loss_stream(se, te, tgt):
+            corr = soft_correspondence_vjp(se, te, tgt, True)
+            return jnp.sum(w * corr)
+
+        v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+            se, te, tgt
+        )
+        v_st, g_st = jax.value_and_grad(loss_stream, argnums=(0, 1, 2))(
+            se, te, tgt
+        )
+        np.testing.assert_allclose(
+            float(v_st), float(v_ref), rtol=1e-4, atol=1e-4
+        )
+        for gs, gr, name in zip(g_st, g_ref, ("dsrc_emb", "dtgt_emb", "dtgt")):
+            gs, gr = np.asarray(gs), np.asarray(gr)
+            # bf16 matmuls in the backward bound the relative error;
+            # compare against the gradient's own scale
+            scale = np.abs(gr).max() + 1e-8
+            np.testing.assert_allclose(
+                gs / scale, gr / scale, atol=4e-3, err_msg=name
+            )
+
+    def test_vjp_forward_no_lse_matches_lse_path(self):
+        from vcrnet_tpu.ops.pallas_vcp import (
+            _run_streaming, soft_correspondence_vjp,
+        )
+
+        rng = np.random.RandomState(8)
+        B, Ns, Nt, E = 1, 64, 128, 16
+        se = jnp.asarray(rng.randn(B, Ns, E).astype(np.float32))
+        te = jnp.asarray(rng.randn(B, Nt, E).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(B, Nt, 3).astype(np.float32))
+        plain = _run_streaming(se, te, tgt, 128, 1024, True, save_lse=False)
+        with_lse, lse = _run_streaming(
+            se, te, tgt, 128, 1024, True, save_lse=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(with_lse), rtol=0, atol=0
+        )
+        # lse really is the logsumexp of the scores
+        s = (
+            2.0 * np.einsum("bne,bme->bnm", np.asarray(se), np.asarray(te))
+            - np.sum(np.asarray(te) ** 2, axis=-1)[:, None, :]
+        )
+        ref_lse = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + \
+            s.max(-1)
+        np.testing.assert_allclose(
+            np.asarray(lse)[:, :, 0], ref_lse, rtol=2e-5, atol=2e-4
+        )
+
 
 def test_knn_auto_rejects_non_tileable_n():
     # N=100 is not a multiple of 8: auto must fall back to the exact path

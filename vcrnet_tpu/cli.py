@@ -95,9 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--mesh_shape", type=int, default=None)
     p.add_argument("--data_dir", type=str, default=None)
-    p.add_argument("--int8_train_gathers", action="store_true", default=False,
+    p.add_argument("--int8_train_gathers", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="int8 one-hot gathers in the TRAINING fused kernels "
-                        "(straight-through backward; see Config)")
+                        "(straight-through backward; +9.5%% step throughput, "
+                        "default ON since round 4 — see Config/KERNELS.md); "
+                        "--no-int8_train_gathers restores exact-bf16 gathers")
     p.add_argument("--reuse_feature_knn", action="store_true", default=False,
                    help="eval refinement: reuse an earlier iteration's "
                         "feature-graph kNN in later ones (approximate)")

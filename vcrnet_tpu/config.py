@@ -110,14 +110,17 @@ class Config:
     # dequant HBM passes break XLA's fusion around the already-MXU-bound
     # projections. Kept as a tested option (tests/test_int8.py); see
     # docs/KERNELS.md.
-    int8_train_gathers: bool = False  # run the Pallas edge-conv/gather-max
+    int8_train_gathers: bool = True  # run the Pallas edge-conv/gather-max
     # one-hot gathers int8 DURING TRAINING too (they are always int8 at
     # eval). The custom backward recomputes from the same quantized table,
     # giving the straight-through gradient of the quantized forward
-    # (tests/test_ops.py::test_int8_*_straight_through). Measured NEUTRAL
-    # on TPU (139.3 vs 140.0 ms/step @ B=64, within the ±8% session
-    # noise; benchmarks/reuse_ab.py) — stays OFF: no speed to buy the
-    # extra quantization noise in gradients with.
+    # (tests/test_ops.py::test_int8_*_straight_through). Round-2 A/B read
+    # NEUTRAL (139.3 vs 140.0 ms/step @ B=64) because the pre-winner-index
+    # backwards re-ran the full selection either way; after the
+    # winner-index backward kernels landed, the round-4 same-session A/B
+    # measures 126.7 -> 115.8 ms/step @ B=64 (505 -> 553 pairs/s/chip,
+    # +9.5%), and training convergence was re-validated with the flag ON
+    # (see STATUS.md round-4). Set False for the exact-f32 gather path.
     reuse_feature_knn: bool = False  # eval refinement: reuse a previous
     # iteration's FEATURE-space kNN selection in later iterations
     # (vcrnet_iter). Unlike the always-on spatial-kNN reuse (exact: rigid

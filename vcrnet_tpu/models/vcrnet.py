@@ -122,20 +122,33 @@ class VCRNet(nn.Module):
                 return heads.vcp_top_k_partial(
                     src_emb, tgt_emb, src, tgt, cfg.overlap2, precision=precision
                 )
-            use_streaming = (
-                not train
-                and _dtype(cfg) == jnp.bfloat16
+            on_tpu_bf16 = (
+                _dtype(cfg) == jnp.bfloat16
                 and jax.default_backend() == "tpu"
                 and src.shape[1] % 8 == 0
                 and tgt.shape[1] % 8 == 0
             )
-            if use_streaming:
+            if on_tpu_bf16 and not train:
                 from vcrnet_tpu.ops.pallas_vcp import (
                     streaming_soft_correspondence,
                 )
 
                 corr = streaming_soft_correspondence(src_emb, tgt_emb, tgt)
                 return src, corr
+            if on_tpu_bf16 and train:
+                from vcrnet_tpu.ops.pallas_vcp import (
+                    soft_correspondence_vjp, streaming_vjp_supported,
+                )
+
+                if streaming_vjp_supported(
+                    src.shape[1], tgt.shape[1], src_emb.shape[-1]
+                ):
+                    # differentiable streaming path: the XLA formulation
+                    # below materialises the [B, Ns, Nt] probabilities in
+                    # HBM twice (fwd + bwd, ~270 MB each at B=64 N=1024);
+                    # the custom-VJP kernel pair keeps memory O(N)
+                    corr = soft_correspondence_vjp(src_emb, tgt_emb, tgt)
+                    return src, corr
             return heads.vcp_top_k_whole(
                 src_emb, tgt_emb, src, tgt, precision=precision
             )
