@@ -464,7 +464,16 @@ def _try_config(fn, *args) -> dict:
     return dict(_FAILED_ROW)
 
 
-def accuracy_report(n_items: int = 96) -> dict:
+def accuracy_report(
+    n_items: int = 96,
+    *,
+    checkpoint: str = None,
+    num_points: int = 1024,
+    emb_dims: int = 512,
+    test_batch_size: int = 24,
+    profiles: tuple = ("fast", "exact"),
+    protocols: tuple = ("whole_iter1", "whole_iter3", "partial_iter3"),
+) -> dict:
     """Per-protocol rot/trans RMSE under the BENCHED fast profile and the
     exact-f32 path (deterministic synthetic eval set from the
     reference-parity pipeline) — so the throughput claims carry their
@@ -488,24 +497,35 @@ def accuracy_report(n_items: int = 96) -> dict:
     )
 
     t7 = "/root/reference/pretrained/lpd-pretrained.t7"
-    trained = os.path.join(
+    trained = checkpoint or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "checkpoints", "pretrained", "vcrnet_shapes_best.msgpack",
     )
-    trained_params = None
+    trained_params = trained_bs = None
     if os.path.exists(trained):
         with open(trained, "rb") as f:
-            trained_params = serialization.msgpack_restore(f.read())
+            raw = serialization.msgpack_restore(f.read())
+        # the msgpack holds the FULL TrainState dict (params / batch_stats /
+        # opt_state / step) — unwrap before merging, exactly as
+        # train/checkpoint.py::load_checkpoint does. Passing the whole dict
+        # into merge_params is a proven silent no-op (round-4 artifact ran
+        # untrained weights); merge_params now raises on zero-leaf merges
+        # so that failure mode is a crash, not a wrong number.
+        trained_params = raw.get("params", raw)
+        trained_bs = raw.get("batch_stats") if "params" in raw else None
     protos = {
         "whole_iter1": dict(iter=1),
         "whole_iter3": dict(iter=3),
         "partial_iter3": dict(iter=3, partial=True, overlap=0.575),
     }
+    protos = {k: v for k, v in protos.items() if k in protocols}
     out = {
         "weights": (
             "trained_checkpoint" if trained_params is not None
             else "pretrained_embedding_only"
         ),
+        "checkpoint": os.path.basename(trained) if trained_params is not None
+        else None,
         "eval_set": (
             "synthetic_shapes" if trained_params is not None
             else "synthetic_uniform"
@@ -518,9 +538,10 @@ def accuracy_report(n_items: int = 96) -> dict:
             out[name] = {"skipped": "deadline"}
             continue
         row = {}
-        for profile in ("fast", "exact"):
+        for profile in profiles:
             kw = dict(
-                num_points=1024, emb_dims=512, test_batch_size=24, **pkw
+                num_points=num_points, emb_dims=emb_dims,
+                test_batch_size=test_batch_size, **pkw
             )
             if profile == "fast":
                 kw.update(
@@ -543,12 +564,25 @@ def accuracy_report(n_items: int = 96) -> dict:
                 jax.random.PRNGKey(cfg.seed), next(iter(loader))
             )
             if trained_params is not None:
+                stats = {}
                 state = state.replace(
                     params=merge_params(
                         serialization.to_state_dict(state.params),
                         trained_params,
+                        stats=stats,  # raises on zero merged leaves
                     )
                 )
+                if trained_bs and state.batch_stats:
+                    state = state.replace(
+                        batch_stats=merge_params(
+                            serialization.to_state_dict(state.batch_stats),
+                            trained_bs, min_leaves=0,
+                        )
+                    )
+                # merged-leaf count in the artifact: a reader can verify the
+                # checkpoint actually landed without rerunning anything
+                out["merged_leaves"] = stats["merged"]
+                out["checkpoint_leaves"] = stats["converted_leaves"]
             else:
                 state = state.replace(
                     params=merge_pretrained_embedding(
@@ -560,19 +594,22 @@ def accuracy_report(n_items: int = 96) -> dict:
                 "rot_RMSE_deg": round(float(s["rot_ab_RMSE"]), 4),
                 "trans_RMSE": round(float(s["trans_ab_RMSE"]), 6),
             }
-        row["delta"] = {
-            "rot_RMSE_deg": round(
-                abs(
-                    row["fast"]["rot_RMSE_deg"]
-                    - row["exact"]["rot_RMSE_deg"]
+        if "fast" in row and "exact" in row:
+            row["delta"] = {
+                "rot_RMSE_deg": round(
+                    abs(
+                        row["fast"]["rot_RMSE_deg"]
+                        - row["exact"]["rot_RMSE_deg"]
+                    ),
+                    4,
                 ),
-                4,
-            ),
-            "trans_RMSE": round(
-                abs(row["fast"]["trans_RMSE"] - row["exact"]["trans_RMSE"]),
-                6,
-            ),
-        }
+                "trans_RMSE": round(
+                    abs(
+                        row["fast"]["trans_RMSE"] - row["exact"]["trans_RMSE"]
+                    ),
+                    6,
+                ),
+            }
         out[name] = row
     return out
 

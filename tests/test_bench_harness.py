@@ -194,6 +194,79 @@ def test_main_deadline_skips_trailing_configs(monkeypatch, capsys):
     assert "failed_configs" not in payload  # skipped != failed
 
 
+def test_accuracy_report_real_checkpoint_load(tmp_path, monkeypatch):
+    """The REAL accuracy_report code path, tiny shapes, no mocks: save a
+    perturbed TrainState msgpack, reload it through accuracy_report, and
+    assert (a) the merge actually landed (merged-leaf count, changed
+    metrics vs init weights) and (b) the reported RMSE equals a direct
+    eval of the perturbed state. Round-4 shipped an artifact whose
+    checkpoint load was a silent no-op (full state dict passed where the
+    'params' entry belonged) — this pins the fix."""
+    import jax
+    import numpy as np
+    from vcrnet_tpu.config import Config
+    from vcrnet_tpu.data import SyntheticDataset, Loader
+    from vcrnet_tpu.train import Trainer
+    from vcrnet_tpu.train.checkpoint import save_checkpoint
+
+    monkeypatch.delenv("VCRNET_BENCH_DEADLINE_S", raising=False)
+    monkeypatch.setattr(bench, "_DEADLINE", None)  # earlier tests set it
+    kw = dict(num_points=64, emb_dims=64, test_batch_size=4)
+    cfg = Config(iter=1, **kw)
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(
+        cfg, "test", n_items=8, cloud_points=2048, kind="shapes"
+    )
+    loader = Loader(ds, cfg.test_batch_size, shuffle=False, drop_last=False)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed), next(iter(loader)))
+    perturbed = state.replace(
+        params=jax.tree_util.tree_map(
+            lambda x: x * 1.05 + 0.01, state.params
+        )
+    )
+    path = save_checkpoint(str(tmp_path), "ckpt", perturbed)
+
+    report = bench.accuracy_report(
+        n_items=8, checkpoint=path, profiles=("exact",),
+        protocols=("whole_iter1",), **kw,
+    )
+    assert report["weights"] == "trained_checkpoint"
+    assert report["merged_leaves"] > 0
+    n_model_leaves = len(jax.tree_util.tree_leaves(state.params))
+    assert report["merged_leaves"] == n_model_leaves
+
+    got = report["whole_iter1"]["exact"]["rot_RMSE_deg"]
+    expect = trainer.eval_epoch(perturbed, loader)
+    init = trainer.eval_epoch(state, loader)
+    assert got == round(float(expect["rot_ab_RMSE"]), 4)
+    # and the perturbation is visible end-to-end: loading the checkpoint
+    # produced different metrics than init weights (no silent no-op)
+    assert abs(got - float(init["rot_ab_RMSE"])) > 1e-6
+
+
+def test_merge_params_raises_on_zero_leaf_merge():
+    """The exact round-4 failure shape: a full TrainState dict (top keys
+    params/batch_stats/...) merged into a bare param tree overlaps on
+    nothing — that must now raise, not silently return init params."""
+    import numpy as np
+    import pytest as _pytest
+    from vcrnet_tpu.train.checkpoint import merge_params
+
+    model_params = {"emb_nn": {"conv1": {"kernel": np.zeros((3, 4))}}}
+    full_state = {
+        "params": {"emb_nn": {"conv1": {"kernel": np.ones((3, 4))}}},
+        "batch_stats": {},
+        "step": 7,
+    }
+    with _pytest.raises(ValueError, match="merged 0 leaves"):
+        merge_params(model_params, full_state)
+    # the correct unwrap still works and reports its count
+    stats = {}
+    merged = merge_params(model_params, full_state["params"], stats=stats)
+    assert stats["merged"] == 1
+    assert merged["emb_nn"]["conv1"]["kernel"][0, 0] == 1.0
+
+
 def test_main_fails_fast_when_headline_fails(monkeypatch):
     calls = []
 

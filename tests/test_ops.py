@@ -574,13 +574,20 @@ class TestStreamingVcp:
     def test_vjp_value_and_grads_match_xla(self):
         """The differentiable streaming path (train): forward equals the
         XLA whole-mode correspondence and ALL THREE input cotangents match
-        jax.grad of the XLA formulation (same loss), in interpret mode."""
+        jax.grad of the XLA formulation (same loss), in interpret mode.
+
+        Shapes chosen so BOTH multi-tile paths run: Ns=512 gives
+        n_q_tiles=4 in the backward (dk/dv/colsum accumulation across the
+        sequential q-tile grid, tile_q<=256 from the VMEM bound) and
+        Nt=768 gives n_k_tiles>1 in the forward's online-softmax lse path
+        (tile_k falls back from 1024 to 256) — at the previous 128/256
+        both grids were single-tile and the accumulation logic untested."""
         import jax
         from vcrnet_tpu.ops.pallas_vcp import soft_correspondence_vjp
         from vcrnet_tpu.models.heads import vcp_top_k_whole
 
         rng = np.random.RandomState(7)
-        B, Ns, Nt, E = 2, 128, 256, 32
+        B, Ns, Nt, E = 1, 512, 768, 32
         se = jnp.asarray(rng.randn(B, Ns, E).astype(np.float32))
         te = jnp.asarray(rng.randn(B, Nt, E).astype(np.float32))
         src = jnp.asarray(rng.randn(B, Ns, 3).astype(np.float32))

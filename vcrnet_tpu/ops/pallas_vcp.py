@@ -82,9 +82,12 @@ def _vcp_kernel(
         out_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(out_ref.dtype)
         if save_lse:
             # logsumexp of the scores per query row — the backward's
-            # residual for the flash-style p recompute
+            # residual for the flash-style p recompute. Emitted as a
+            # [TQ, 1] column (not lane-broadcast): the full-width variant
+            # wrote a [B, Ns, 128] f32 array to HBM (~32 MB at protocol
+            # shapes) with only lane 0 meaningful.
             lse_ref[0] = (
-                m_ref[:] + jnp.log(l_ref[:])
+                m_ref[:, :1] + jnp.log(l_ref[:, :1])
             ).astype(lse_ref.dtype)
 
 
@@ -118,6 +121,11 @@ def _run_streaming(
         memory_space=pltpu.VMEM,
     )
     o_shape = jax.ShapeDtypeStruct((B, Ns, _LANES), jnp.float32)
+    lse_spec = pl.BlockSpec(
+        (1, tile_q, 1), lambda b, i, j: (b, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lse_shape = jax.ShapeDtypeStruct((B, Ns, 1), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=(B, Ns // tile_q, n_k_tiles),
@@ -131,8 +139,8 @@ def _run_streaming(
             pl.BlockSpec((1, 1, tile_k), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[o_spec, o_spec] if save_lse else o_spec,
-        out_shape=[o_shape, o_shape] if save_lse else o_shape,
+        out_specs=[o_spec, lse_spec] if save_lse else o_spec,
+        out_shape=[o_shape, lse_shape] if save_lse else o_shape,
         scratch_shapes=[
             pltpu.VMEM((tile_q, _LANES), jnp.float32),  # m
             pltpu.VMEM((tile_q, _LANES), jnp.float32),  # l
@@ -142,7 +150,7 @@ def _run_streaming(
     )(src_emb, tgt_emb, v_hi, v_lo, norms)
     if save_lse:
         out, lse = outs
-        return out[:, :, :3], lse[:, :, :1]
+        return out[:, :, :3], lse
     return outs[:, :, :3]
 
 

@@ -58,6 +58,10 @@ def load_checkpoint(path: str, template):
                 batch_stats=merge_params(
                     serialization.to_state_dict(template.batch_stats),
                     saved_bs,
+                    # zero overlap is legitimate here (e.g. an LPD
+                    # checkpoint restored into a BN-free model); the params
+                    # merge above already guarantees the load did something
+                    min_leaves=0,
                 )
             )
         return state
@@ -332,39 +336,85 @@ def load_t7_lpdnet(path: str, prefix: str = "emb_nn.") -> dict:
     return convert_lpdnet_state_dict(sd, prefix=prefix)
 
 
-def merge_params(params: dict, converted: dict) -> dict:
+def merge_params(
+    params: dict,
+    converted: dict,
+    *,
+    min_leaves: int = 1,
+    stats: dict | None = None,
+) -> dict:
     """Deep non-strict merge of a converted param tree into a model param
     tree: only leaves that exist in both (with matching shapes) are taken
-    from ``converted`` (reference strict=False load, initPara.py:254)."""
+    from ``converted`` (reference strict=False load, initPara.py:254).
+
+    Non-strict must not mean silent: a load that merges NOTHING is
+    indistinguishable from a successful one at the call site, which is how
+    an untrained model once shipped labeled "trained_checkpoint" (round-4
+    bench artifact). By default this raises when fewer than ``min_leaves``
+    leaves were actually taken from ``converted``; pass ``min_leaves=0``
+    only where an empty overlap is a legitimate outcome. ``stats`` (if
+    given) is filled with merged / shape-mismatch / source-leaf counts so
+    callers can surface the number (bench JSON, logs)."""
+    counts = {"merged": 0, "shape_mismatch": 0, "converted_leaves": 0}
 
     def rec(dst, src):
         if not isinstance(dst, dict) or not isinstance(src, dict):
+            counts["converted_leaves"] += 1
             dst_arr = np.asarray(dst)
             src_arr = np.asarray(src)
             if dst_arr.shape == src_arr.shape:
+                counts["merged"] += 1
                 return src_arr.astype(dst_arr.dtype)
+            counts["shape_mismatch"] += 1
             return dst
         out = dict(dst)
         for key, sub in src.items():
             if key in out:
                 out[key] = rec(out[key], sub)
+            else:
+                counts["converted_leaves"] += len(
+                    jax.tree_util.tree_leaves(sub)
+                )
         return out
 
-    return rec(params, converted)
+    merged = rec(params, converted)
+    if stats is not None:
+        stats.update(counts)
+    if counts["merged"] < min_leaves:
+        raise ValueError(
+            "merge_params merged "
+            f"{counts['merged']} leaves (< min_leaves={min_leaves}) out of "
+            f"{counts['converted_leaves']} in the source tree "
+            f"({counts['shape_mismatch']} shape mismatches). Target top-level "
+            f"keys: {sorted(params) if isinstance(params, dict) else type(params)}; "
+            f"source top-level keys: "
+            f"{sorted(converted) if isinstance(converted, dict) else type(converted)}. "
+            "A zero-leaf merge almost always means the wrong tree was passed "
+            "(e.g. a full TrainState dict instead of its 'params' entry)."
+        )
+    return merged
 
 
 def merge_pretrained_embedding(params: dict, emb_params: dict) -> dict:
     """Graft converted LPDNet params into a model param tree under 'emb_nn'
-    (non-strict, like the reference's strict=False load)."""
+    (non-strict, like the reference's strict=False load). Raises when
+    nothing merges — a silent no-op graft is always a caller bug."""
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
     target = dict(params["emb_nn"])
+    n_merged = 0
     for name, layer in emb_params.items():
         if name in target:
             cur = dict(target[name])
             for pk, pv in layer.items():
                 if pk in cur and cur[pk].shape == pv.shape:
                     cur[pk] = pv.astype(np.asarray(cur[pk]).dtype)
+                    n_merged += 1
             target[name] = cur
+    if n_merged == 0:
+        raise ValueError(
+            "merge_pretrained_embedding merged 0 leaves: converted layers "
+            f"{sorted(emb_params)} vs model emb_nn layers {sorted(target)}"
+        )
     params = dict(params)
     params["emb_nn"] = target
     return params
