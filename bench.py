@@ -349,7 +349,18 @@ def bench_lpd_pretrain(batch: int = 16) -> dict:
         model="lpd", num_points=1024, emb_dims=512, batch_size=batch,
         compute_dtype="bfloat16",
     )
-    return _bench_train_family(cfg, batch)
+    row = _bench_train_family(cfg, batch)
+    # the MFU here is ~50x below the other configs BY CONSTRUCTION, not
+    # pathology: the reference recipe's B=16 with the triplet loss's
+    # 32-step sequential FPS scan (lpdnet_model.py:195, a data dependency
+    # no layout fixes) leaves the chip overhead-bound between the small
+    # matmuls — say so in the artifact instead of leaving a 0.0066 row
+    # unexplained
+    row["mfu_note"] = (
+        "overhead-bound by construction: reference-recipe B=16 + the "
+        "triplet loss's sequential 32-step FPS scan"
+    )
+    return row
 
 
 def bench_dcp_eval(batch: int = 64, reps: int = 5) -> dict:
@@ -388,10 +399,17 @@ def bench_dcp_eval(batch: int = 64, reps: int = 5) -> dict:
 def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
     """Classical batched ICP eval (max_iterations=50, tolerance break).
     MFU is omitted here: the data-dependent while_loop makes a static
-    FLOP count meaningless. The tolerance break converges the synthetic
-    pairs in a handful of iterations, so the per-step time is ~ms-scale;
-    long chains (2 vs 20) keep the differencing above tunnel jitter
-    (round-4 lesson: (1,3) chains reported a noise-floor 0.08 ms/step)."""
+    FLOP count meaningless. Long chains (2 vs 20) keep the differencing
+    above tunnel jitter (round-4 lesson: (1,3) chains reported a
+    noise-floor 0.08 ms/step).
+
+    The pairs carry the REFERENCE EVAL misalignment (per-item Euler zyx
+    rotations U(0, pi/4) per axis — util/data.py:258-277 at the default
+    --factor 4 — plus U(-0.5, 0.5) translations), and the row reports
+    ``mean_iters``, the while_loop iterations actually executed (the
+    tolerance break is a batch-mean predicate, icp_model.py:37-39). An
+    early round benched a 0.2-rad single-axis pair that converged after
+    ~1 iteration and reported a ms-scale "ICP step" — honest now."""
     import jax
     import jax.numpy as jnp
     from vcrnet_tpu.models.icp import icp_register
@@ -399,15 +417,34 @@ def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
     n = 1024
     rng = np.random.RandomState(0)
     src = rng.rand(batch, n, 3).astype(np.float32) - 0.5
-    # a real small misalignment so the while_loop does representative work
-    ang = 0.2
-    R = np.array(
-        [[np.cos(ang), -np.sin(ang), 0.0],
-         [np.sin(ang), np.cos(ang), 0.0],
-         [0.0, 0.0, 1.0]], np.float32,
-    )
-    tgt = src @ R.T + np.float32([0.05, -0.03, 0.02])
+    angles = rng.uniform(0.0, np.pi / 4.0, size=(batch, 3))
+    cz, sz = np.cos(angles[:, 0]), np.sin(angles[:, 0])
+    cy, sy = np.cos(angles[:, 1]), np.sin(angles[:, 1])
+    cx, sx = np.cos(angles[:, 2]), np.sin(angles[:, 2])
+    zero, one = np.zeros(batch), np.ones(batch)
+    Rz = np.stack(
+        [cz, -sz, zero, sz, cz, zero, zero, zero, one], -1
+    ).reshape(batch, 3, 3)
+    Ry = np.stack(
+        [cy, zero, sy, zero, one, zero, -sy, zero, cy], -1
+    ).reshape(batch, 3, 3)
+    Rx = np.stack(
+        [one, zero, zero, zero, cx, -sx, zero, sx, cx], -1
+    ).reshape(batch, 3, 3)
+    R = (Rz @ Ry @ Rx).astype(np.float32)
+    t = rng.uniform(-0.5, 0.5, size=(batch, 1, 3)).astype(np.float32)
+    tgt = np.einsum("bij,bnj->bni", R, src) + t
     src_d, tgt_d = jax.device_put(src), jax.device_put(jnp.asarray(tgt))
+
+    # iteration count of one real solve on these pairs (same misalignment
+    # the timed chain runs) — out of the jitted fn as one extra scalar
+    n_iters = int(np.asarray(
+        jax.jit(
+            lambda s, d: icp_register(
+                s, d, max_iterations=50, with_iters=True
+            )[-1]
+        )(src_d, tgt_d)
+    ))
 
     def make_chained(T):
         def chained(s0):
@@ -424,7 +461,10 @@ def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
     dt, _ = _time_chained(
         make_chained, src_d, 2, 20, reps, measure_flops=False
     )
-    return _result_row(batch, dt, None)
+    row = _result_row(batch, dt, None)
+    row["mean_iters"] = n_iters
+    row["max_iterations"] = 50
+    return row
 
 
 def _best_over_batches(partial: bool, n_iter: int, batches) -> dict:

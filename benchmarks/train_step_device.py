@@ -22,13 +22,20 @@ from vcrnet_tpu.train import Trainer
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    int8 = os.environ.get(
-        "VCRNET_INT8_TRAIN_GATHERS", ""
-    ).strip().lower() not in ("", "0", "false", "off", "no")
+    def env_flag(name, default):
+        raw = os.environ.get(name)
+        if raw is None:
+            return default
+        return raw.strip().lower() not in ("", "0", "false", "off", "no")
+
+    int8 = env_flag("VCRNET_INT8_TRAIN_GATHERS", False)
+    streaming = env_flag("VCRNET_STREAMING_VCP_TRAIN", True)
     cfg = Config(
         num_points=1024, emb_dims=512, batch_size=B,
         compute_dtype="bfloat16", int8_train_gathers=int8,
+        streaming_vcp_train=streaming,
     )
+    print(f"int8_train_gathers={int8} streaming_vcp_train={streaming}")
     trainer = Trainer(cfg)
     rng = np.random.RandomState(0)
     n = cfg.n_cropped

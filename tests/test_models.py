@@ -97,6 +97,22 @@ class TestICP:
         out = f(src, tgt)
         assert np.all(np.isfinite(np.asarray(out[2])))
 
+    def test_icp_with_iters_reports_executed_count(self):
+        rng = np.random.RandomState(6)
+        # hard pair: real misalignment runs several iterations...
+        src, tgt, _, _ = make_pair(rng, batch=2, n=256, angle_deg=40,
+                                   t_scale=0.3)
+        out = icp_register(src, tgt, max_iterations=50, with_iters=True)
+        assert len(out) == 7
+        hard_iters = int(np.asarray(out[-1]))
+        assert 1 < hard_iters <= 50
+        # ...an already-aligned pair breaks out almost immediately (the
+        # batch-mean tolerance predicate, reference icp_model.py:37-39)
+        out2 = icp_register(src, src, max_iterations=50, with_iters=True)
+        assert int(np.asarray(out2[-1])) <= 2
+        # and the 6-tuple default signature is unchanged
+        assert len(icp_register(src, tgt, max_iterations=5)) == 6
+
 
 @pytest.fixture(scope="module")
 def small_cfg():

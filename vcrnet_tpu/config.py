@@ -142,6 +142,12 @@ class Config:
     # checkpoint; benchmarks/refine_subsample_probe.py, docs/KERNELS.md).
     # Kept implemented+tested for a future density-conditioned embedding.
     # 0 = off; values >= num_points are clamped to exact.
+    streaming_vcp_train: bool = True  # training (whole mode, bf16 TPU):
+    # route the soft correspondence through the O(N)-memory custom-VJP
+    # Pallas kernel pair (ops/pallas_vcp.py) instead of the XLA
+    # formulation that materialises [B, Ns, Nt] probabilities in HBM
+    # twice. Same math (interpret-mode VJP tests match XLA grads); knob
+    # exists as the A/B control arm and escape hatch.
     remat: bool = False  # training: jax.checkpoint (rematerialize) the
     # embedding and pointer forward activations instead of storing them
     # — EXACT (same math, recompute in backward), trades ~1 extra forward

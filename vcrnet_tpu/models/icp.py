@@ -34,9 +34,16 @@ def icp_register(
     max_iterations: int = 50,
     tolerance: float = 1e-3,
     precision=None,
+    with_iters: bool = False,
 ):
     """Align src -> dst. Returns (src, src_aligned, R_ab, t_ab, R_ba, t_ba),
-    the reference ICP.forward signature (icp_model.py:26-48)."""
+    the reference ICP.forward signature (icp_model.py:26-48).
+
+    ``with_iters=True`` appends the while_loop iteration count actually
+    executed (int32 scalar — the tolerance break is a batch-mean predicate,
+    so the count is per-batch, reference icp_model.py:37-39). Benchmarks
+    report it so an early-converging run can't masquerade as a
+    max_iterations-deep one."""
 
     def cond(carry):
         cur, prev_err, err, i, done = carry
@@ -52,8 +59,10 @@ def icp_register(
 
     init = (src, jnp.asarray(0.0, src.dtype), jnp.asarray(0.0, src.dtype),
             jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    aligned, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    aligned, _, _, n_iters, _ = jax.lax.while_loop(cond, body, init)
 
     R_ab, t_ab = geometry.procrustes(src, aligned)
     R_ba, t_ba = geometry.invert_transform(R_ab, t_ab)
+    if with_iters:
+        return src, aligned, R_ab, t_ab, R_ba, t_ba, n_iters
     return src, aligned, R_ab, t_ab, R_ba, t_ba

@@ -135,7 +135,7 @@ class VCRNet(nn.Module):
 
                 corr = streaming_soft_correspondence(src_emb, tgt_emb, tgt)
                 return src, corr
-            if on_tpu_bf16 and train:
+            if on_tpu_bf16 and train and cfg.streaming_vcp_train:
                 from vcrnet_tpu.ops.pallas_vcp import (
                     soft_correspondence_vjp, streaming_vjp_supported,
                 )
