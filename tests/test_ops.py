@@ -477,14 +477,17 @@ class TestPallasEdgeConv:
         # assertions are about the DEFAULT budgets; neutralize the A/B knob
         monkeypatch.delenv("VCRNET_ONEHOT_VMEM_BUDGET_MB", raising=False)
 
-        # 20*128*4096*4B = 40 MB -> shrinks; all candidates divide 4096
-        assert _vmem_guard_tile(128, 20, 4096, 4) == 8
+        # 20*128*4096*4B = 40 MB -> shrinks under the 6 MB default budget:
+        # 64 (20 MB) -> 32 (10 MB) -> 16 (5 MB, fits); candidates divide 4096
+        assert _vmem_guard_tile(128, 20, 4096, 4) == 16
         # non-power-of-two caller tile: 96 -> 48 (÷8 ok, divides 768)
         # -> 24 would be ÷8-violating, so stop at... 48%8==0, 24%8==0 no
         t = _vmem_guard_tile(96, 20, 768, 4)
         assert t % 8 == 0 and 768 % t == 0
-        # small problem (20*128*512*2B = 2.6 MB <= 4 MB): untouched
+        # small problem (20*128*512*2B = 2.6 MB <= 6 MB): untouched
         assert _vmem_guard_tile(128, 20, 512, 2) == 128
+        # round-5 default tile 256 int8 at N=1024 (5 MB) fits untouched
+        assert _vmem_guard_tile(256, 20, 1024, 1) == 256
 
     def test_edge_conv_bwd_large_n_vmem_guard(self):
         # (ADVICE r1 medium) backward kernels at N=2048 must tile-shrink and

@@ -59,12 +59,16 @@ DEFERRED_OVERRIDE: bool | None = (
     else _DEFERRED_ENV not in ("0", "false", "off", "no")
 )
 
-# A/B knob for the query-tile size of the fused forward kernels (default
-# 128; the VMEM guards still shrink it where the one-hot would not fit).
-# Larger tiles = fewer grid programs and wider gather matmuls, at more
-# VMEM per program — re-measure before changing the default.
+# A/B knob for the query-tile size of the fused forward kernels (the VMEM
+# guards still shrink it where the one-hot would not fit). Larger tiles =
+# fewer grid programs and wider gather/selection ops, at more VMEM per
+# program. Default 256 after the round-5 same-session A/B at B=64 N=1024
+# (vs 128): edge_conv int8 4.81 -> 4.03 ms, bf16 7.12 -> 5.20,
+# gather_max int8 4.93 -> 4.47, bf16 7.89 -> 6.89, selection-only kNN
+# 2.96 -> 2.66 — the [k*256, 1024] int8 one-hot (5 MB) fits the raised
+# 6 MB budget below; larger N shapes still auto-shrink via the guard.
 _TILE_ENV = os.environ.get("VCRNET_EDGECONV_TILE_Q", "").strip()
-TILE_Q_DEFAULT: int = int(_TILE_ENV) if _TILE_ENV.isdigit() else 128
+TILE_Q_DEFAULT: int = int(_TILE_ENV) if _TILE_ENV.isdigit() else 256
 
 
 def _scores_and_ids(x_q_ref, x_k_ref, norms_ref, tile_q):
@@ -757,7 +761,7 @@ def _pick_tile(n, tile_q):
     return next(t for t in (128, 64, 32, 16, 8) if n % t == 0)
 
 
-def _vmem_guard_tile(tile_q, k, n, itemsize, budget=4 << 20):
+def _vmem_guard_tile(tile_q, k, n, itemsize, budget=6 << 20):
     """Shrink tile_q so a [k*tile_q, n] one-hot stays under ~budget bytes of
     VMEM. Each halving must keep tile_q a multiple of 8 (Mosaic sublane
     constraint) and a divisor of n (grid tiling); stop when it can't.
