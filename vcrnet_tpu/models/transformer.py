@@ -194,7 +194,15 @@ class MultiHeadAttention(nn.Module):
                 )
 
         if (
-            self.flash and not self.remask and not train
+            self.flash and not self.remask
+            and (
+                not train
+                or (
+                    not dropping
+                    and os.environ.get("VCRNET_PACKED_FLASH_TRAIN", "0")
+                    == "1"
+                )
+            )
             and not self.capture_attention and not self.is_initializing()
             and os.environ.get("VCRNET_PACKED_FLASH", "1") == "1"
         ):
