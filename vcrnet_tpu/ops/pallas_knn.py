@@ -55,7 +55,7 @@ def _knn_kernel(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def fused_knn(
-    x: jax.Array, k: int = 20, tile_q: int = 128, interpret: bool = False,
+    x: jax.Array, k: int = 20, tile_q: int = 256, interpret: bool = False,
     packed_select: bool = True,
 ) -> jax.Array:
     """x: [B, N, C] -> [B, N, k] int32 nearest-neighbor indices (no self).
@@ -93,7 +93,13 @@ def _fused_knn_impl(
     flop_meter.add(flop_meter.pairwise_dist(B, N, N, C))
     if N % tile_q != 0:
         # largest divisor tile >= 8 (Mosaic sublane constraint)
-        tile_q = next(t for t in (128, 64, 32, 16, 8) if N % t == 0)
+        tile_q = next(t for t in (256, 128, 64, 32, 16, 8) if N % t == 0)
+    # VMEM guard: the f32 scores + packed int32 tiles are the residents.
+    # Default tile 256 after the round-5 A/B at B=64 N=1024 (3.19 ->
+    # 2.25 ms; tile 512 regressed to 3.96) — shrink at large N so
+    # [TQ, N] x2 stays ~4 MB.
+    while tile_q > 128 and tile_q * N * 8 > (4 << 20) and N % (tile_q // 2) == 0:
+        tile_q //= 2
 
     # [B, 1, N]: the singleton keeps the block shape tile-legal on TPU
     norms = jnp.sum(
