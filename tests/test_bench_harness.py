@@ -228,12 +228,15 @@ def test_accuracy_report_real_checkpoint_load(tmp_path, monkeypatch):
 
     report = bench.accuracy_report(
         n_items=8, checkpoint=path, profiles=("exact",),
-        protocols=("whole_iter1",), **kw,
+        protocols=("whole_iter1", "partial_iter3"), **kw,
     )
     assert report["weights"] == "trained_checkpoint"
     assert report["merged_leaves"] > 0
     n_model_leaves = len(jax.tree_util.tree_leaves(state.params))
     assert report["merged_leaves"] == n_model_leaves
+    # the partial protocol (static-K selects, remask, crop shapes) runs
+    # through the same loader and produces finite metrics
+    assert np.isfinite(report["partial_iter3"]["exact"]["rot_RMSE_deg"])
 
     got = report["whole_iter1"]["exact"]["rot_RMSE_deg"]
     expect = trainer.eval_epoch(perturbed, loader)
