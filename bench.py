@@ -414,30 +414,22 @@ def bench_icp_eval(batch: int = 32, reps: int = 5) -> dict:
     import jax.numpy as jnp
     from vcrnet_tpu.models.icp import icp_register
 
+    from scipy.spatial.transform import Rotation
+
     n = 1024
     rng = np.random.RandomState(0)
     src = rng.rand(batch, n, 3).astype(np.float32) - 0.5
     angles = rng.uniform(0.0, np.pi / 4.0, size=(batch, 3))
-    cz, sz = np.cos(angles[:, 0]), np.sin(angles[:, 0])
-    cy, sy = np.cos(angles[:, 1]), np.sin(angles[:, 1])
-    cx, sx = np.cos(angles[:, 2]), np.sin(angles[:, 2])
-    zero, one = np.zeros(batch), np.ones(batch)
-    Rz = np.stack(
-        [cz, -sz, zero, sz, cz, zero, zero, zero, one], -1
-    ).reshape(batch, 3, 3)
-    Ry = np.stack(
-        [cy, zero, sy, zero, one, zero, -sy, zero, cy], -1
-    ).reshape(batch, 3, 3)
-    Rx = np.stack(
-        [one, zero, zero, zero, cx, -sx, zero, sx, cx], -1
-    ).reshape(batch, 3, 3)
-    R = (Rz @ Ry @ Rx).astype(np.float32)
+    R = Rotation.from_euler("zyx", angles).as_matrix().astype(np.float32)
     t = rng.uniform(-0.5, 0.5, size=(batch, 1, 3)).astype(np.float32)
     tgt = np.einsum("bij,bnj->bni", R, src) + t
     src_d, tgt_d = jax.device_put(src), jax.device_put(jnp.asarray(tgt))
 
     # iteration count of one real solve on these pairs (same misalignment
-    # the timed chain runs) — out of the jitted fn as one extra scalar
+    # the timed chain runs) — out of the jitted fn as one extra scalar.
+    # The tolerance break is a batch-MEAN predicate (icp_model.py:37-39),
+    # so the count is one scalar shared by the whole batch; "mean" over
+    # items is degenerate-exact.
     n_iters = int(np.asarray(
         jax.jit(
             lambda s, d: icp_register(
@@ -537,6 +529,11 @@ def accuracy_report(
     )
 
     t7 = "/root/reference/pretrained/lpd-pretrained.t7"
+    if checkpoint is not None and not os.path.exists(checkpoint):
+        # an explicitly requested checkpoint must not silently degrade to
+        # the embedding-only report (the same wrong-number-not-a-crash
+        # class as the round-4 no-op merge)
+        raise FileNotFoundError(f"accuracy_report checkpoint: {checkpoint}")
     trained = checkpoint or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "checkpoints", "pretrained", "vcrnet_shapes_best.msgpack",

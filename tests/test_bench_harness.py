@@ -247,6 +247,14 @@ def test_accuracy_report_real_checkpoint_load(tmp_path, monkeypatch):
     assert abs(got - float(init["rot_ab_RMSE"])) > 1e-6
 
 
+def test_accuracy_report_missing_checkpoint_raises(monkeypatch):
+    # an explicitly requested checkpoint that doesn't exist must raise,
+    # not silently degrade to the embedding-only report
+    monkeypatch.setattr(bench, "_DEADLINE", None)
+    with pytest.raises(FileNotFoundError, match="typo"):
+        bench.accuracy_report(n_items=4, checkpoint="/nonexistent/typo.msgpack")
+
+
 def test_merge_params_raises_on_zero_leaf_merge():
     """The exact round-4 failure shape: a full TrainState dict (top keys
     params/batch_stats/...) merged into a bare param tree overlaps on

@@ -580,11 +580,12 @@ class TestStreamingVcp:
         jax.grad of the XLA formulation (same loss), in interpret mode.
 
         Shapes chosen so BOTH multi-tile paths run: Ns=512 gives
-        n_q_tiles=4 in the backward (dk/dv/colsum accumulation across the
-        sequential q-tile grid, tile_q<=256 from the VMEM bound) and
-        Nt=768 gives n_k_tiles>1 in the forward's online-softmax lse path
-        (tile_k falls back from 1024 to 256) — at the previous 128/256
-        both grids were single-tile and the accumulation logic untested."""
+        n_q_tiles=2 in the backward (tile_q=256 from the 1 MB score
+        bound, so the dk/dv/colsum accumulation across the sequential
+        q-tile grid is active) and Nt=768 gives n_k_tiles=3 in the
+        forward's online-softmax lse path (tile_k falls back from 1024
+        to 256) — at the previous 128/256 both grids were single-tile
+        and the accumulation logic untested."""
         import jax
         from vcrnet_tpu.ops.pallas_vcp import soft_correspondence_vjp
         from vcrnet_tpu.models.heads import vcp_top_k_whole

@@ -246,6 +246,31 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == int(state.step)
 
+    def test_bare_params_msgpack_loads_via_fallback(self, tmp_path):
+        # a params-only msgpack (serialization.to_bytes(state.params), the
+        # save_params format) must restore through load_checkpoint's
+        # non-strict fallback — raw.get("params", raw) unwrap, not a
+        # "merged 0 leaves" ValueError
+        from flax import serialization
+        from vcrnet_tpu.train.checkpoint import save_params
+
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        train, _ = make_loaders(cfg)
+        batch = next(iter(train))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        perturbed = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+        path = str(tmp_path / "params_only.msgpack")
+        save_params(path, perturbed)
+
+        state2 = trainer.init_state(jax.random.PRNGKey(1), batch)
+        restored = load_checkpoint(path, state2)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(perturbed),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_t7_conversion_shapes_and_merge(self):
         import os
 

@@ -46,7 +46,10 @@ def load_checkpoint(path: str, template):
         return serialization.from_bytes(template, data)
     except ValueError:
         raw = serialization.msgpack_restore(data)
-        saved_params = raw.get("params", {})
+        # a full TrainState dict carries its params under "params"; a
+        # bare param tree (saved via save_params / to_bytes(state.params))
+        # IS the params — same contract as bench.py / parity_report
+        saved_params = raw.get("params", raw)
         state = template.replace(
             params=merge_params(
                 serialization.to_state_dict(template.params), saved_params
