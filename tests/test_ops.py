@@ -927,3 +927,53 @@ class TestLayerNormVJP:
             np.isfinite(np.asarray(l)).all()
             for l in _jax.tree_util.tree_leaves(gp)
         )
+
+
+class TestFusedDGCNN:
+    """fused_dgcnn_eval (interpret mode) vs the XLA DGCNN module at eval
+    with randomized BatchNorm running stats — validates both the BN fold
+    and the in-VMEM conv chain."""
+
+    def test_matches_module_eval(self):
+        import jax as _jax
+        from vcrnet_tpu.models.embeddings import DGCNN
+        from vcrnet_tpu.ops import knn
+        from vcrnet_tpu.ops.pallas_dgcnn import (
+            fold_dgcnn_eval_params, fused_dgcnn_eval,
+        )
+
+        rng = np.random.RandomState(3)
+        B, N, k, emb = 2, 64, 5, 128
+        x = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) - 0.5)
+        model = DGCNN(emb_dims=emb, k=k)  # dtype=None -> f32 slow path
+        variables = model.init(_jax.random.PRNGKey(0), x)
+        # randomize the running stats so the fold is actually exercised
+        bs = _jax.tree_util.tree_map(
+            lambda a: jnp.asarray(
+                rng.rand(*a.shape).astype(np.float32) * 0.5 + 0.75
+            ),
+            variables["batch_stats"],
+        )
+        variables = {"params": variables["params"], "batch_stats": bs}
+
+        ref = model.apply(variables, x, train=False)
+        folded = fold_dgcnn_eval_params(
+            variables["params"], variables["batch_stats"]
+        )
+        idx = knn(x, k=k)
+        out = fused_dgcnn_eval(x, idx, folded, emb, interpret=True)
+        assert out.shape == ref.shape
+        scale = float(np.abs(np.asarray(ref)).max()) + 1e-8
+        # kernel runs bf16 matmuls (the TPU fast profile); the f32 module
+        # is the oracle — tolerance covers 4 stages of bf16 rounding
+        np.testing.assert_allclose(
+            np.asarray(out) / scale, np.asarray(ref) / scale, atol=2e-2
+        )
+
+    def test_supported_gate(self):
+        from vcrnet_tpu.ops.pallas_dgcnn import fused_dgcnn_supported
+
+        assert fused_dgcnn_supported(1024, 20, 512)
+        assert fused_dgcnn_supported(768, 20, 512)
+        assert not fused_dgcnn_supported(1001, 20, 512)  # ragged N
+        assert not fused_dgcnn_supported(1024, 20, 320)  # emb % 128

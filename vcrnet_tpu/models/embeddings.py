@@ -334,6 +334,32 @@ class DGCNN(nn.Module):
         )
 
         B, N, _ = x.shape
+        if (
+            not train
+            and self.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and not self.is_initializing()
+        ):
+            from vcrnet_tpu.ops.pallas_dgcnn import (
+                fold_dgcnn_eval_params, fused_dgcnn_eval,
+                fused_dgcnn_supported,
+            )
+
+            if fused_dgcnn_supported(N, self.k, self.emb_dims):
+                # whole 4-stage edge-conv chain + projection as ONE Pallas
+                # program per (batch, tile): the XLA path writes ~2.7 GB of
+                # [B, N, k, C] intermediates to HBM per cloud (13.9 ms at
+                # B=64 vs ~1.5 ms of matmul FLOPs). Eval-mode BN is an
+                # affine and folds into each stage's weights.
+                v = self.variables
+                folded = fold_dgcnn_eval_params(
+                    v["params"], v["batch_stats"]
+                )
+                idx = knn(
+                    x, k=self.k, precision=self.precision,
+                    approx=self.approx_knn,
+                )
+                return fused_dgcnn_eval(x, idx, folded, self.emb_dims)
         g = graph_feature(
             x, k=self.k, precision=self.precision, approx=self.approx_knn
         )  # [B,N,k,6]
