@@ -170,8 +170,9 @@ def test_main_emits_failed_configs_field(monkeypatch, capsys):
     assert payload["configs"]["whole_iter1"]["vs_baseline"] == pytest.approx(1.6)
     assert "vs_baseline" not in payload["configs"]["vcrnet_train"]
     assert payload["configs"]["whole_iter1"]["mfu"] == 0.25
-    # the final emission carries the compact accuracy block (n_items=48)
-    assert payload["accuracy"] == {"mocked": True, "n_items": 48}
+    # the final emission carries the accuracy block (full 96-item sample
+    # when the deadline has headroom, as it does with mocked configs)
+    assert payload["accuracy"] == {"mocked": True, "n_items": 96}
     assert "accuracy" not in payloads[-2]
 
 
