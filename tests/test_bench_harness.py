@@ -176,6 +176,17 @@ def test_main_emits_failed_configs_field(monkeypatch, capsys):
     assert "accuracy" not in payloads[-2]
 
 
+def test_main_midrange_deadline_uses_compact_accuracy(monkeypatch, capsys):
+    # with _ACCURACY_MIN_S < remaining <= 2*_ACCURACY_MIN_S the accuracy
+    # block must still run, at the compact 48-item sample (not 96, which
+    # could overrun the remaining budget)
+    _mock_all_configs(monkeypatch, partial_fails=False, icp_fails=False)
+    monkeypatch.setenv("VCRNET_BENCH_DEADLINE_S", "450")
+    bench.main()
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["accuracy"] == {"mocked": True, "n_items": 48}
+
+
 def test_main_deadline_skips_trailing_configs(monkeypatch, capsys):
     # with a zero budget the headline still runs (it is the contract's
     # one mandatory number), everything after is marked skipped and the

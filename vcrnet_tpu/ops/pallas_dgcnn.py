@@ -50,9 +50,10 @@ _LANES = 128
 def fold_bn_dense(kernel, scale, bias, mean, var, eps: float = 1e-5):
     """relu-less fold of eval-mode BatchNorm into the preceding bias-free
     Dense: y = BN(x @ W) = x @ (W·s) + (beta − mean·s), s = gamma/√(var+eps).
-    Returns (W' f32, b' f32). jnp throughout — under jit the variables are
-    tracers and the fold becomes part of the compiled program (XLA
-    constant-folds it across steps since the weights are loop constants)."""
+    Returns (W' f32, b' f32) as jnp arrays. jnp throughout — under jit the
+    variables are tracers, so the fold compiles into the program and
+    re-runs each call; that is elementwise work over ~0.4 M params,
+    negligible next to the kernel itself."""
     f32 = jnp.float32
     s = jnp.asarray(scale, f32) * jax.lax.rsqrt(jnp.asarray(var, f32) + eps)
     w = jnp.asarray(kernel, f32) * s[None, :]
@@ -62,9 +63,8 @@ def fold_bn_dense(kernel, scale, bias, mean, var, eps: float = 1e-5):
 
 def fold_dgcnn_eval_params(params, batch_stats, eps: float = 1e-5):
     """DGCNN variables -> the kernel's folded weight list
-    [(W1', b1'), ..., (W5', b5')] as numpy f32 (pure layout transform;
-    do it once per apply — XLA constant-folds it under jit since the
-    variables are trace constants there)."""
+    [(W1', b1'), ..., (W5', b5')] as jnp f32 arrays (a pure affine
+    transform, re-executed per apply — negligible elementwise cost)."""
     out = []
     for i in range(1, 6):
         w, b = fold_bn_dense(
@@ -166,6 +166,10 @@ def fused_dgcnn_eval(
     k = idx.shape[-1]
     (w1, b1), (w2, b2), (w3, b3), (w4, b4), (w5, b5) = folded
     tile_q = _pick_tile_dgcnn(N, k)
+    if N % tile_q:
+        # gate with fused_dgcnn_supported; without this check a ragged N
+        # would silently leave the last N % tile_q output rows unwritten
+        raise ValueError(f"fused_dgcnn_eval: N={N} not tileable ({tile_q})")
 
     flop_meter.add(
         flop_meter.matmul(B * N * k, 6, 64)
