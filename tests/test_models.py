@@ -379,6 +379,27 @@ class TestIterCachedEmbedding:
                 np.asarray(a), np.asarray(b), atol=1e-5
             )
 
+    def test_cached_iter_dgcnn_spatial_idx(self):
+        """DGCNN's graph is built on the input xyz, so refinement
+        iterations reuse iteration 1's spatial kNN exactly like LPDNet.
+        The cached path must match the naive re-embed path (f32 on
+        near-generic data: rigid transforms preserve distances, so the
+        cached selection equals the recomputed one away from ties)."""
+        cfg = Config(num_points=64, emb_dims=128, ff_dims=128,
+                     emb_nn="dgcnn")
+        rng = np.random.RandomState(43)
+        src, tgt, _, _ = make_pair(rng, batch=2, n=64)
+        model = VCRNet(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), src, tgt)
+        naive = vcrnet_iter(model.apply, variables, src, tgt, n_iter=2)
+        cached = vcrnet_iter(
+            model.apply, variables, src, tgt, n_iter=2, model=model
+        )
+        for a, b in zip(naive, cached):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            )
+
     def test_reuse_feature_knn_mechanism(self):
         """Config.reuse_feature_knn threads iteration 1's feature-space
         kNN selection into iterations 2+. The reuse is an approximation

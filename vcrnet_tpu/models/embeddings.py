@@ -325,7 +325,17 @@ class DGCNN(nn.Module):
     approx_knn: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        spatial_idx: jax.Array | None = None,
+    ) -> jax.Array:
+        """``spatial_idx`` optionally supplies the precomputed xyz-kNN
+        selection ([B, N, k] int32). DGCNN's graph is built on the INPUT
+        coordinates, so it is exactly rigid-invariant — eval refinement
+        loops cache iteration 1's selection (sown as 'spatial_idx', the
+        same contract as LPDNet)."""
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
         )
@@ -334,6 +344,13 @@ class DGCNN(nn.Module):
         )
 
         B, N, _ = x.shape
+        if spatial_idx is not None:
+            idx = spatial_idx
+        else:
+            idx = knn(
+                x, k=self.k, precision=self.precision, approx=self.approx_knn
+            )
+            self.sow("intermediates", "spatial_idx", idx)
         if (
             not train
             and self.dtype == jnp.bfloat16
@@ -355,13 +372,10 @@ class DGCNN(nn.Module):
                 folded = fold_dgcnn_eval_params(
                     v["params"], v["batch_stats"]
                 )
-                idx = knn(
-                    x, k=self.k, precision=self.precision,
-                    approx=self.approx_knn,
-                )
                 return fused_dgcnn_eval(x, idx, folded, self.emb_dims)
         g = graph_feature(
-            x, k=self.k, precision=self.precision, approx=self.approx_knn
+            x, idx=idx, k=self.k, precision=self.precision,
+            approx=self.approx_knn,
         )  # [B,N,k,6]
 
         x = nn.relu(bn("bn1")(dense(64, "conv1")(g)))

@@ -168,8 +168,9 @@ class VCRNet(nn.Module):
         """Embedding only — exposed so eval refinement loops can cache the
         (unchanging) target embedding across iterations. ``spatial_idx`` /
         ``feature_idx`` optionally supply precomputed kNN selections
-        (LPDNet only; see LPDNet.__call__ for the exact-vs-approximate
-        distinction)."""
+        (spatial: LPDNet + DGCNN, both exactly rigid-invariant;
+        feature_idx: LPDNet only — see LPDNet.__call__ for the
+        exact-vs-approximate distinction)."""
         kw = {}
         if spatial_idx is not None:
             kw["spatial_idx"] = spatial_idx
@@ -259,7 +260,7 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
       * the pointer's encoder pass over it,
       * the SOURCE's spatial (xyz) kNN indices — rigid transforms preserve
         pairwise distances, so the transformed source's spatial neighbor
-        sets equal the original's (LPDNet only).
+        sets equal the original's (LPDNet and DGCNN).
     All three are exact in exact arithmetic (the reference recomputes them
     every pass), and together cut per-iteration cost by the full
     target-embedding + target-encoder + spatial-kNN time.
@@ -306,7 +307,7 @@ def vcrnet_iter(apply_fn, variables, src, tgt, n_iter: int, model=None):
         """One source-embedding pass; a fresh-graph pass sows the
         selections it computes anyway (spatial xyz-kNN and the DG feature
         graph) so later iterations can reuse them."""
-        if fresh_graph and model.cfg.emb_nn == "lpdnet":
+        if fresh_graph and model.cfg.emb_nn in ("lpdnet", "dgcnn"):
             emb, sown = model.apply(
                 variables, x, method=VCRNet.embed,
                 mutable=["intermediates"], spatial_idx=spatial_idx,
