@@ -225,9 +225,13 @@ class Registrar:
         if self._batch_sharding is not None:
             src = jax.device_put(src, self._batch_sharding)
             tgt = jax.device_put(tgt, self._batch_sharding)
-        R_ab, t_ab, R_ba, t_ba = self._forward(bucket)(
-            self._variables, jnp.asarray(src), jnp.asarray(tgt)
-        )
+        R_ab, t_ab, R_ba, t_ba = jax.device_get(
+            self._forward(bucket)(
+                self._variables, jnp.asarray(src), jnp.asarray(tgt)
+            )
+        )  # one batched host transfer, not four sequential fetches —
+        # on a tunnel-backed device each separate np.asarray pays its
+        # own round trip
         return {
             "R": np.asarray(R_ab)[:b],
             "t": np.asarray(t_ab)[:b],
