@@ -1,9 +1,11 @@
 """Fused one-pass flash-attention backward kernel vs XLA autodiff.
 
 The kernel (ops/pallas_attention.py) is exercised in interpret mode: its
-(q, k, v, o, lse, do) inputs are produced by a plain-XLA attention forward,
-and its (dq, dk, dv) must match jax.grad of that forward. Covers the
-padded-key masking path (nk_valid < Nk) used at partial shapes.
+(q, k, v, o, do) inputs are produced by a plain-XLA attention forward,
+and its (dq, dk, dv) must match jax.grad of that forward. The kernel
+recomputes the softmax row stats itself (no lse residual is saved by the
+forward). Covers the padded-key masking path (nk_valid < Nk) used at
+partial shapes.
 """
 
 import numpy as np
@@ -45,9 +47,9 @@ def test_fused_bwd_matches_xla_grads(nq, nk, nk_valid):
 
     dq_ref, dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
-    o, lse = _reference_attention(q, k, v, sm_scale, nk_valid)
+    o, _ = _reference_attention(q, k, v, sm_scale, nk_valid)
     dq, dk, dv = _bwd_fused(
-        q, k, v, o, lse, ct, sm_scale, nk_valid, interpret=True
+        q, k, v, o, ct, sm_scale, nk_valid, interpret=True
     )
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-3)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-3)
@@ -62,12 +64,12 @@ def test_fused_bwd_padded_queries_contribute_nothing():
     q = jnp.asarray(rng.randn(B, H, nq, D).astype(np.float32))
     k = jnp.asarray(rng.randn(B, H, nk, D).astype(np.float32))
     v = jnp.asarray(rng.randn(B, H, nk, D).astype(np.float32))
-    o, lse = _reference_attention(q, k, v, sm_scale, nk)
+    o, _ = _reference_attention(q, k, v, sm_scale, nk)
     ct = rng.randn(B, H, nq, D).astype(np.float32)
     ct[:, :, 128:, :] = 0.0  # "padded" back half
     ct = jnp.asarray(ct)
     _, dk_full, dv_full = _bwd_fused(
-        q, k, v, o, lse, ct, sm_scale, nk, interpret=True
+        q, k, v, o, ct, sm_scale, nk, interpret=True
     )
 
     # reference restricted to the first 128 queries
@@ -138,9 +140,9 @@ class TestPackedFlash:
             return (o.astype(jnp.float32) ** 2).sum()
 
         q4, k4, v4 = split(q), split(k), split(v)
-        o4, lse = _reference_attention(q4, k4, v4, sm, N)
+        o4, _ = _reference_attention(q4, k4, v4, sm, N)
         out = o4.transpose(0, 2, 1, 3).reshape(B, N, H * dk)
-        res = (q4, k4, v4, o4, lse)
+        res = (q4, k4, v4, o4)
 
         real_bwd = pa._bwd_fused
         monkeypatch.setattr(

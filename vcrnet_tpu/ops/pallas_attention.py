@@ -11,7 +11,13 @@ q-tile): a single s = qk^T recompute serves all five backward matmuls
 across the sequential q-tile grid.
 
 Forward = the stock one-shot-block flash kernel (already tuned 3.5x over
-library defaults here), saving its (l, m) residuals as logsumexp.
+library defaults here), with NO softmax residuals saved: the backward's
+score recompute already holds the full [TQ, NK] f32 block in VMEM, so it
+derives its own (m, l) row statistics there. Saving them from the forward
+instead (the library's save_residuals path) writes two lane-broadcast
+f32 [B, H, N, 128] arrays to HBM (~268 MB per call at B=64 H=4 N=1024)
+that XLA then re-reads just to slice lane 0 — measured ~5 ms/step of the
+train step across the 6 attention calls (train_trace, round 5).
 Numerics match the XLA attention backward to bf16 tolerance (tests).
 
 Padding: sequence lengths are padded to lane multiples; padded KEYS are
@@ -57,26 +63,18 @@ def _seg_ids(B: int, nq: int, nk: int, nk_valid: int):
     return fa.SegmentIds(q=jnp.zeros((B, nq), jnp.int32), kv=kv)
 
 
-def _fwd_library(q, k, v, sm_scale: float, nk_valid: int, save: bool):
+def _fwd_library(q, k, v, sm_scale: float, nk_valid: int):
     B, H, nq, d = q.shape
     nk = k.shape[2]
     bs = _block_sizes(nq, nk)
     seg = _seg_ids(B, nq, nk, nk_valid)
-    if not save:
-        o = fa.flash_attention(
-            q, k, v, segment_ids=seg, sm_scale=sm_scale, block_sizes=bs
-        )
-        return o, None
-    o, l, m = fa._flash_attention_impl(
-        q, k, v, None, seg, True, False, sm_scale,
-        bs.block_b, bs.block_q, bs.block_k_major, bs.block_k, False,
+    return fa.flash_attention(
+        q, k, v, segment_ids=seg, sm_scale=sm_scale, block_sizes=bs
     )
-    lse = m + jnp.log(l)  # [B, H, nq] f32
-    return o, lse
 
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+    q_ref, k_ref, v_ref, o_ref, do_ref,
     dq_ref, dk_ref, dv_ref,
     *, sm_scale: float, nk_valid: int,
 ):
@@ -85,17 +83,24 @@ def _bwd_kernel(
     v = v_ref[0]
     o = o_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse_col = lse_ref[0]  # [TQ, 1] f32
 
     nk = k.shape[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),  # q @ k^T -> [TQ, NK]
         preferred_element_type=jnp.float32,
     ) * sm_scale
-    p = jnp.exp(s - lse_col)
+    # the forward saves NO softmax residuals: recompute the row stats from
+    # the in-VMEM f32 score block (one max + one sum-exp on the VPU, free
+    # next to the five matmuls). Padded keys are masked BEFORE the max so
+    # (m, l) — and hence p — see only valid columns, exactly like the
+    # forward's segment-id masking; exp(-1e30 - m) underflows to 0.
     if nk_valid < nk:
-        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
-        p = jnp.where(col < nk_valid, p, 0.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < nk_valid, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)       # [TQ, 1]
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=1, keepdims=True)       # [TQ, 1]
+    p = e / l
 
     delta = jnp.sum(do * o, axis=1, keepdims=True)  # [TQ, 1]
     do_c = do.astype(v.dtype)
@@ -134,7 +139,7 @@ def _bwd_kernel(
 
 
 def _bwd_fused(
-    q, k, v, o, lse, do, sm_scale: float, nk_valid: int,
+    q, k, v, o, do, sm_scale: float, nk_valid: int,
     interpret: bool = False,
 ):
     B, H, nq, d = q.shape
@@ -142,7 +147,6 @@ def _bwd_fused(
     bh = B * H
     r3 = lambda x: x.reshape(bh, x.shape[2], x.shape[3])
     q3, k3, v3, o3, do3 = map(r3, (q, k, v, o, do))
-    lse2 = lse.reshape(bh, nq, 1)
 
     # one-shot q tile when the f32 score tensor fits comfortably in VMEM.
     # nq is padded to a 128 multiple (flash_mha), so every rung divides it;
@@ -178,8 +182,6 @@ def _bwd_fused(
             full_spec,                      # v
             tile_spec,                      # o
             tile_spec,                      # do
-            pl.BlockSpec((1, tile_q, 1), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),  # lse
         ],
         out_specs=[
             tile_spec,                      # dq
@@ -192,7 +194,7 @@ def _bwd_fused(
             jax.ShapeDtypeStruct((bh, nk, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q3, k3, v3, o3, do3, lse2)
+    )(q3, k3, v3, o3, do3)
     shape4 = lambda x, n: x.reshape(B, H, n, d)
     return (
         shape4(dq3, nq).astype(q.dtype),
@@ -203,21 +205,20 @@ def _bwd_fused(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attn_vjp(q, k, v, sm_scale, nk_valid):
-    o, _ = _fwd_library(q, k, v, sm_scale, nk_valid, save=False)
-    return o
+    return _fwd_library(q, k, v, sm_scale, nk_valid)
 
 
 def _attn_fwd(q, k, v, sm_scale, nk_valid):
-    o, lse = _fwd_library(q, k, v, sm_scale, nk_valid, save=True)
-    return o, (q, k, v, o, lse)
+    o = _fwd_library(q, k, v, sm_scale, nk_valid)
+    return o, (q, k, v, o)
 
 
 def _attn_bwd(sm_scale, nk_valid, res, do):
-    q, k, v, o, lse = res
+    q, k, v, o = res
     B, H, nq, d = q.shape
     # score recompute + dV/dP/dQ/dK matmuls: 5 score-shaped passes
     flop_meter.add(flop_meter.attention(B, H, nq, k.shape[2], d, passes=5.0))
-    return _bwd_fused(q, k, v, o, lse, do, sm_scale, nk_valid)
+    return _bwd_fused(q, k, v, o, do, sm_scale, nk_valid)
 
 
 _attn_vjp.defvjp(_attn_fwd, _attn_bwd)
@@ -338,16 +339,16 @@ def _packed_merge(x4):
 def _flash_packed_fwd(q, k, v, sm_scale: float, n_heads: int):
     q4, k4, v4 = (_packed_split(x, n_heads) for x in (q, k, v))
     nk = k4.shape[2]
-    o4, lse = _fwd_library(q4, k4, v4, sm_scale, nk, save=True)
-    return _packed_merge(o4), (q4, k4, v4, o4, lse)
+    o4 = _fwd_library(q4, k4, v4, sm_scale, nk)
+    return _packed_merge(o4), (q4, k4, v4, o4)
 
 
 def _flash_packed_bwd(sm_scale, n_heads, res, do):
-    q4, k4, v4, o4, lse = res
+    q4, k4, v4, o4 = res
     B, H, nq, d = q4.shape
     flop_meter.add(flop_meter.attention(B, H, nq, k4.shape[2], d, passes=5.0))
     do4 = _packed_split(do, n_heads)
-    dq4, dk4, dv4 = _bwd_fused(q4, k4, v4, o4, lse, do4, sm_scale, k4.shape[2])
+    dq4, dk4, dv4 = _bwd_fused(q4, k4, v4, o4, do4, sm_scale, k4.shape[2])
     return _packed_merge(dq4), _packed_merge(dk4), _packed_merge(dv4)
 
 
