@@ -76,6 +76,7 @@ def _fwd_library(q, k, v, sm_scale: float, nk_valid: int):
 def _bwd_kernel(
     q_ref, k_ref, v_ref, o_ref, do_ref,
     dq_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc,
     *, sm_scale: float, nk_valid: int,
 ):
     q = q_ref[0]          # [TQ, D] bf16/f32
@@ -124,18 +125,29 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    dq_ref[0] = dq
+    # outputs are emitted in the PARAMETER dtype directly (bf16 in the bf16
+    # profile): casting outside the kernel materialised each f32
+    # [B·H, N, D] gradient to HBM plus a separate convert pass (~0.3 ms
+    # per convert at protocol shapes, ~18 converts per train step).
+    # dk/dv still accumulate across the sequential q-tile grid in f32
+    # VMEM scratch; only the final write rounds.
+    dq_ref[0] = dq.astype(dq_ref.dtype)
     qi = pl.program_id(1)
 
     @pl.when(qi == 0)
     def _():
-        dk_ref[0] = dk
-        dv_ref[0] = dv
+        dk_acc[...] = dk
+        dv_acc[...] = dv
 
     @pl.when(qi != 0)
     def _():
-        dk_ref[0] = dk_ref[0] + dk
-        dv_ref[0] = dv_ref[0] + dv
+        dk_acc[...] += dk
+        dv_acc[...] += dv
+
+    @pl.when(qi == pl.num_programs(1) - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _bwd_fused(
@@ -189,18 +201,18 @@ def _bwd_fused(
             full_spec,                      # dv (accumulated over q tiles)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, nq, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, nk, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, nk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nk, d), jnp.float32),  # dk accumulator
+            pltpu.VMEM((nk, d), jnp.float32),  # dv accumulator
         ],
         interpret=interpret,
     )(q3, k3, v3, o3, do3)
     shape4 = lambda x, n: x.reshape(B, H, n, d)
-    return (
-        shape4(dq3, nq).astype(q.dtype),
-        shape4(dk3, nk).astype(k.dtype),
-        shape4(dv3, nk).astype(v.dtype),
-    )
+    return shape4(dq3, nq), shape4(dk3, nk), shape4(dv3, nk)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
